@@ -1,0 +1,445 @@
+"""The prior-fit engine: one compiled ``lax.scan`` per fit, ``vmap`` over
+images, IoU-gated retry — the TPU-native replacement of the reference's
+serial per-image fitting (`awesome/model/path_connected_net.py:730-1008`
+``_prior_based_pretrain`` / ``_non_prior_based_pretrain`` and the how-to
+notebooks' Python training loops).
+
+What the reference does per image — 2000 Adamax steps of
+``sigmoid(prior(grid))`` vs. unaries with UnariesWeighted SE,
+ReduceLROnPlateau, convexity clip after every step, IoU>=0.5 acceptance
+gate with one reset+retry, optional warm start from the previous image —
+is here a single jitted program:
+
+- the whole step loop is ``lax.scan`` (no Python per step),
+- plateau LR and the NaN guard are scan carry state,
+- the convexity projection runs inside the step (clip AFTER the optimizer
+  update, matching `path_connected_net.py:950-952`),
+- *all images fit simultaneously* under ``vmap`` (stacked param PyTree),
+- the IoU gate+retry is a second vmapped pass on reinitialized params with
+  a ``tree_where`` select — no host round trips.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from awesome_tpu.core import tree as T
+from awesome_tpu.fit import optim
+from awesome_tpu.measures.losses import unaries_weight
+from awesome_tpu.measures.metrics import iou
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Static configuration of a prior fit (hashable -> jit cache key).
+
+    Defaults mirror `awesome/model/path_connected_net.py:756-767` and the
+    joint FBMS config.
+    """
+
+    num_steps: int = 2000
+    lr: float = 1e-3
+    optimizer: str = "adamax"  # 'adamax' | 'adam'
+    flow_weight_decay: float = 1e-5
+    use_sigmoid: bool = True
+    weight_mode: str = "none"  # unaries_weight mode; 'howto' uses fg_weight
+    fg_weight: Optional[float] = None  # how-to fg/bg weighting (cell 9)
+    plateau_patience: int = 200
+    plateau_factor: float = 0.5
+    # LR watchdog: when the plateau scale decays below this, updates freeze —
+    # the in-scan equivalent of LearningRateStopTrainingWatchdog
+    # (`awesome/event/watchdogs/learning_rate_stop_training_watchdog.py:64`).
+    lr_stop_scale: float = 0.0
+    nan_guard: bool = True
+    gate_threshold: Optional[float] = None  # IoU acceptance gate
+    gate_retries: int = 1
+    dtype: Any = jnp.float32
+
+
+def make_point_weights(target_points: jnp.ndarray, cfg: FitConfig) -> jnp.ndarray:
+    """Precompute per-point loss weights W so loss = sum(W * se).
+
+    Two reference schemes collapse into one weighted sum:
+    - UnariesWeightedLoss(mode) with mean reduction -> W = class_w / N
+      (`awesome/measures/unaries_weighted_loss.py:34`),
+    - the how-to fg_weight scheme -> W = fg_w/fg_count on fg points and
+      (1-fg_w)/bg_count on bg (`notebooks/how_to/convexity.ipynb` cell 9).
+    """
+    t = target_points
+    if cfg.fg_weight is not None:
+        is_bg = (t >= 0.5).astype(cfg.dtype)
+        bg_count = jnp.maximum(is_bg.sum(), 1.0)
+        fg_count = jnp.maximum((1.0 - is_bg).sum(), 1.0)
+        return jnp.where(
+            is_bg > 0,
+            (1.0 - cfg.fg_weight) / bg_count,
+            cfg.fg_weight / fg_count,
+        )
+    w = unaries_weight(t, mode=cfg.weight_mode)
+    return w / t.size
+
+
+def _optim_fns(cfg: FitConfig):
+    if cfg.optimizer == "adamax":
+        return optim.adamax_init, optim.adamax_update
+    if cfg.optimizer == "adam":
+        return optim.adam_init, optim.adam_update
+    raise ValueError(f"Unknown optimizer {cfg.optimizer}")
+
+
+def make_weight_decay_tree(model, params: Params, cfg: FitConfig) -> Params:
+    """Flow leaves get ``flow_weight_decay``, everything else 0 — the
+    reference's optimizer param groups (`path_connected_net.py:913-918`)."""
+    if hasattr(model, "param_groups"):
+        groups = model.param_groups(params)
+        return jax.tree_util.tree_map(
+            lambda s: cfg.flow_weight_decay if s == "flow" else 0.0, groups
+        )
+    return jax.tree_util.tree_map(lambda _: 0.0, params)
+
+
+def make_fit_fn(
+    model,
+    cfg: FitConfig,
+    loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build ``fit(params, points, target_points) -> (params, aux)``.
+
+    ``points``: (N, C) coordinate matrix; ``target_points``: (N, 1) unaries.
+    ``loss_fn(params, points, target, weights) -> scalar`` may override the
+    default weighted-SE-on-sigmoid objective.
+    """
+    init_fn, update_fn = _optim_fns(cfg)
+
+    if loss_fn is None:
+
+        def loss_fn(params, points, target, weights):
+            out = model.apply(params, points)
+            prob = jax.nn.sigmoid(out) if cfg.use_sigmoid else out
+            return jnp.sum(weights * (prob - target) ** 2)
+
+    has_clip = hasattr(model, "enforce_convexity")
+
+    def fit(params, points, target_points, active=True):
+        weights = make_point_weights(target_points, cfg)
+        wd_tree = make_weight_decay_tree(model, params, cfg)
+        opt_state = init_fn(params)
+        sched = optim.plateau_init(cfg.dtype)
+        vg = jax.value_and_grad(loss_fn)
+
+        def step(carry, _):
+            params, opt_state, sched = carry
+            loss, grads = vg(params, points, target_points, weights)
+            lr = cfg.lr * sched.scale
+            new_params, new_opt = update_fn(
+                params, grads, opt_state, lr, weight_decay=wd_tree
+            )
+            if has_clip:
+                new_params = model.enforce_convexity(new_params)
+            if cfg.nan_guard:
+                # Guard on loss AND grads: a finite loss with Inf grads (exp
+                # overflow inside the flow) would otherwise poison the whole
+                # remaining scan. Reference merely raises on NaN loss
+                # (`path_connected_net.py:949`); skipping the bad step is the
+                # compiled-loop equivalent of "abort at current state".
+                grads_ok = jax.tree_util.tree_reduce(
+                    jnp.logical_and,
+                    jax.tree_util.tree_map(
+                        lambda g: jnp.all(jnp.isfinite(g)), grads
+                    ),
+                    jnp.asarray(True),
+                )
+                ok = jnp.logical_and(jnp.isfinite(loss), grads_ok)
+            else:
+                ok = jnp.asarray(True)
+            if cfg.lr_stop_scale > 0.0:
+                ok = jnp.logical_and(ok, sched.scale > cfg.lr_stop_scale)
+            ok = jnp.logical_and(ok, active)
+            params = T.tree_where(ok, new_params, params)
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+            )
+            sched = optim.plateau_update(
+                sched,
+                loss,
+                factor=cfg.plateau_factor,
+                patience=cfg.plateau_patience,
+            )
+            return (params, opt_state, sched), loss
+
+        (params, _, sched), loss_hist = jax.lax.scan(
+            step, (params, opt_state, sched), None, length=cfg.num_steps
+        )
+        return params, {"loss_hist": loss_hist, "lr_scale": sched.scale}
+
+    return fit
+
+
+def fit_prior(
+    model,
+    params: Params,
+    points: jnp.ndarray,
+    target_points: jnp.ndarray,
+    cfg: FitConfig,
+    loss_fn: Optional[Callable] = None,
+) -> Tuple[Params, dict]:
+    """Single-image prior fit (jitted on first call per shape)."""
+    fit = make_fit_fn(model, cfg, loss_fn)
+    return jax.jit(fit, static_argnames=())(params, points, target_points)
+
+
+def _gate_iou(model, params, points, target_points, cfg: FitConfig):
+    """Acceptance IoU: thresholded prior vs. thresholded unaries, computed
+    against foreground (fg encoded as 0 -> invert), matching
+    `path_connected_net.py:784-786,964-969`."""
+    out = model.apply(params, points)
+    prob = jax.nn.sigmoid(out) if cfg.use_sigmoid else out
+    return iou(prob > 0.5, target_points > 0.5, invert=True)
+
+
+def fit_priors_batched(
+    model,
+    stacked_params: Params,
+    points: jnp.ndarray,
+    stacked_targets: jnp.ndarray,
+    cfg: FitConfig,
+    retry_keys: Optional[jax.Array] = None,
+    valid_mask: Optional[jnp.ndarray] = None,
+    loss_fn: Optional[Callable] = None,
+) -> Tuple[Params, dict]:
+    """Fit ALL images' priors in one compiled program.
+
+    - ``stacked_params``: PyTree with leading image axis (see
+      ``core.tree.stack_trees``) — replaces the PriorCache + serial
+      ``load_state_dict`` swap (`awesome/dataset/prior_dataset.py:96-110`).
+    - ``points``: shared (N, C) grid, or (B, N, C) per-image grids.
+    - ``stacked_targets``: (B, N, 1) unaries.
+    - ``valid_mask``: (B,) bool; images whose unaries are single-valued are
+      skipped (params pass through), matching `path_connected_net.py:848-855`.
+    - ``retry_keys``: (B,) PRNG keys enabling the IoU-gated reset+retry
+      (`path_connected_net.py:964-982`) as one extra vmapped pass.
+    """
+    fit = make_fit_fn(model, cfg, loss_fn)
+    per_image_points = points.ndim == 3
+    in_axes = (0, 0 if per_image_points else None, 0, 0)
+    batch = stacked_targets.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((batch,), dtype=bool)
+
+    vfit = jax.vmap(fit, in_axes=in_axes)
+    fitted, aux = vfit(stacked_params, points, stacked_targets, valid_mask)
+
+    gate = jnp.ones((batch,), dtype=bool)
+    if cfg.gate_threshold is not None:
+        vgate = jax.vmap(
+            lambda p, x, t: _gate_iou(model, p, x, t, cfg),
+            in_axes=(0, 0 if per_image_points else None, 0),
+        )
+        scores = vgate(fitted, points, stacked_targets)
+        gate = scores >= cfg.gate_threshold
+        aux["gate_iou"] = scores
+        if retry_keys is not None and cfg.gate_retries > 0:
+            failed = jnp.logical_and(~gate, valid_mask)
+            fresh = jax.vmap(model.init)(retry_keys)
+            refit_cfg = dataclasses.replace(cfg, gate_threshold=None)
+            refit = make_fit_fn(model, refit_cfg, loss_fn)
+            refitted, _ = jax.vmap(refit, in_axes=in_axes)(
+                fresh, points, stacked_targets, failed
+            )
+            retry_scores = vgate(refitted, points, stacked_targets)
+            # keep the retry only where it actually ran; prefer it even if
+            # still under threshold (reference keeps the last attempt).
+            take_retry = failed
+            fitted = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    take_retry.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                refitted,
+                fitted,
+            )
+            aux["gate_iou"] = jnp.where(take_retry, retry_scores, scores)
+            gate = aux["gate_iou"] >= cfg.gate_threshold
+    aux["gate_pass"] = gate
+    aux["valid"] = valid_mask
+    return fitted, aux
+
+
+def fit_priors_sequential(
+    model,
+    init_params: Params,
+    points: jnp.ndarray,
+    stacked_targets: jnp.ndarray,
+    cfg: FitConfig,
+    warm_cfg: Optional[FitConfig] = None,
+    valid_mask: Optional[jnp.ndarray] = None,
+    loss_fn: Optional[Callable] = None,
+) -> Tuple[Params, dict]:
+    """Reference-faithful *sequential* fit with warm-start carry
+    (``reuse_state`` semantics, `path_connected_net.py:869-875`): image 0
+    gets a full cold fit; each later image starts from the previous fitted
+    state and runs ``warm_cfg.num_steps`` (reuse_state_epochs). The whole
+    sweep is ONE compiled scan over images.
+
+    Returns the stacked per-image fitted params and aux.
+    """
+    warm_cfg = warm_cfg or dataclasses.replace(cfg, num_steps=200)
+    batch = stacked_targets.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((batch,), dtype=bool)
+    per_image_points = points.ndim == 3
+
+    cold_fit = make_fit_fn(model, cfg, loss_fn)
+    warm_fit = make_fit_fn(model, warm_cfg, loss_fn)
+
+    pts0 = points[0] if per_image_points else points
+    params0, aux0 = jax.jit(cold_fit)(
+        init_params, pts0, stacked_targets[0], valid_mask[0]
+    )
+
+    def body(carry, xs):
+        prev = carry
+        target, valid, pts = xs
+        fitted, aux = warm_fit(prev, pts, target, valid)
+        carry = T.tree_where(valid, fitted, prev)
+        return carry, (fitted, aux["lr_scale"])
+
+    if batch > 1:
+        rest_pts = (
+            points[1:]
+            if per_image_points
+            else jnp.broadcast_to(points, (batch - 1,) + points.shape)
+        )
+        _, (rest_params, rest_scale) = jax.lax.scan(
+            body, params0, (stacked_targets[1:], valid_mask[1:], rest_pts)
+        )
+        stacked = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0),
+            params0,
+            rest_params,
+        )
+    else:
+        stacked = jax.tree_util.tree_map(lambda a: a[None], params0)
+        rest_scale = jnp.zeros((0,))
+    return stacked, {"first_aux": aux0, "warm_lr_scale": rest_scale}
+
+
+# --- prefits -------------------------------------------------------------
+
+
+def learn_flow_identity(
+    model,
+    params: Params,
+    points: jnp.ndarray,
+    lr: float = 1e-2,
+    weight_decay: float = 1e-5,
+    max_iter: int = 100,
+) -> Tuple[Params, jnp.ndarray]:
+    """Prefit the flow (incl. norm wrap) to the identity on the grid.
+
+    Spec: `awesome/model/path_connected_net.py:155-251` — SE loss between
+    flow(x) and x, Adamax(lr, wd). Operates on the 'flow' (and norm) part of
+    a PathConnectedNet param tree; returns full params with updated flow.
+    """
+
+    def flow_apply(flow_params, x):
+        if model.norm is not None:
+            x_in = model.norm.transform(x)
+        else:
+            x_in = x
+        y = model.flow_net.apply(flow_params, x_in)
+        if model.norm is not None:
+            y = model.norm.inverse_transform(y)
+        return y
+
+    def loss_fn(flow_params, x):
+        return jnp.mean((flow_apply(flow_params, x) - x) ** 2)
+
+    opt_state = optim.adamax_init(params["flow"])
+    wd = jax.tree_util.tree_map(lambda _: weight_decay, params["flow"])
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        fp, opt_state = carry
+        loss, grads = vg(fp, points)
+        ok = jnp.isfinite(loss)
+        new_fp, new_opt = optim.adamax_update(fp, grads, opt_state, lr,
+                                              weight_decay=wd)
+        fp = T.tree_where(ok, new_fp, fp)
+        opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+        )
+        return (fp, opt_state), loss
+
+    (flow_params, _), hist = jax.lax.scan(
+        step, (params["flow"], opt_state), None, length=max_iter
+    )
+    return dict(params, flow=flow_params), hist
+
+
+def learn_convex_net(
+    model,
+    params: Params,
+    points: jnp.ndarray,
+    target_points: jnp.ndarray,
+    mode: str = "circle",
+    use_deformed_grid: bool = True,
+    grid_shape: Optional[Tuple[int, int]] = None,
+    lr: float = 1e-3,
+    weight_decay: float = 0.0,
+    max_iter: int = 200,
+) -> Tuple[Params, jnp.ndarray]:
+    """Prefit the ICNN on a circle approximation (or the unaries) evaluated
+    on the *deformed* grid. Spec: `path_connected_net.py:307-390`.
+
+    ``target_points``: (N, 1) unaries; for mode='circle' a circle matching
+    the fg area/center-of-mass is built (needs ``grid_shape``).
+    """
+    from awesome_tpu.core.grids import unary_circle_approximation
+
+    if mode == "circle":
+        if grid_shape is None:
+            raise ValueError("grid_shape required for circle mode")
+        fg = 1.0 - target_points.reshape(grid_shape)  # fg encoded as 0
+        circle = unary_circle_approximation(fg)
+        y = (1.0 - circle.astype(points.dtype)).reshape(-1, 1)
+    elif mode == "unaries":
+        y = target_points
+    else:
+        raise ValueError("Mode must be either 'circle' or 'unaries'!")
+
+    x = (
+        jax.lax.stop_gradient(model.deformation(params, points))
+        if use_deformed_grid
+        else points
+    )
+
+    def loss_fn(cp, x_, y_):
+        prob = jax.nn.sigmoid(model.convex_net.apply(cp, x_))
+        return jnp.mean((prob - y_) ** 2)
+
+    opt_state = optim.adam_init(params["convex"])
+    wd = jax.tree_util.tree_map(lambda _: weight_decay, params["convex"])
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        cp, opt_state = carry
+        loss, grads = vg(cp, x, y)
+        ok = jnp.isfinite(loss)
+        new_cp, new_opt = optim.adam_update(cp, grads, opt_state, lr,
+                                            weight_decay=wd)
+        new_cp = model.convex_net.enforce_convexity(new_cp)
+        cp = T.tree_where(ok, new_cp, cp)
+        opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+        )
+        return (cp, opt_state), loss
+
+    (convex_params, _), hist = jax.lax.scan(
+        step, (params["convex"], opt_state), None, length=max_iter
+    )
+    return dict(params, convex=convex_params), hist

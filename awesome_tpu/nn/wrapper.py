@@ -1,0 +1,150 @@
+"""Combined segmentation + prior model — the functional WrapperModule.
+
+The reference's ``WrapperModule`` (`awesome/model/wrapper_module.py:13-341`)
+loops over batch images in Python, swaps per-image prior weights via
+PriorManager, and concatenates seg/prior outputs. Here it is a pure
+function; the per-image loop becomes ``vmap`` over a stacked prior param
+tree, and "swap weights" is indexing that tree.
+
+Two input modes (spec `abstract_combined_segmentation_module.py:23`):
+
+- 'pixel': inputs are point matrices (N, C) with layout (y, x, r, g, b...);
+  the prior sees channels [0:2] (``prior_arg_mode='xy_c_preattached'``,
+  `wrapper_module.py:94-99`); outputs concatenate on the last dim ->
+  (N, 2) [seg, prior].
+- 'image': inputs are NHWC image + feature map + a clean coordinate grid
+  for the prior (``prior_arg_mode='param_clean_grid'``); outputs
+  concatenate on the channel dim -> (B, H, W, 2C).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from awesome_tpu.core import grids as G
+from awesome_tpu.nn.module import Module
+
+
+@dataclasses.dataclass(frozen=True)
+class WrapperModule(Module):
+    segmentation_module: Module
+    prior_module: Optional[Module] = None
+    input_mode: str = "pixel"  # 'pixel' | 'image'
+    prior_arg_mode: str = "xy_c_preattached"
+    use_segmentation_sigmoid: bool = True
+    use_segmentation_output_inversion: bool = False
+    use_prior_sigmoid: bool = True
+    seg_stateful: bool = False  # segmentation module has (params, state)
+
+    # ---- init ------------------------------------------------------------
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        if self.seg_stateful:
+            seg_params, seg_state = self.segmentation_module.init(k1)
+        else:
+            seg_params, seg_state = self.segmentation_module.init(k1), None
+        params = {"seg": seg_params}
+        if self.prior_module is not None:
+            params["prior"] = self.prior_module.init(k2)
+        return (params, seg_state) if self.seg_stateful else params
+
+    # ---- pieces ----------------------------------------------------------
+    def process_segmentation_output(self, segm):
+        """Sigmoid + optional inversion. Spec: `wrapper_module.py:246-260`."""
+        if self.use_segmentation_sigmoid:
+            segm = jax.nn.sigmoid(segm)
+        if self.use_segmentation_output_inversion:
+            segm = 1.0 - segm
+        return segm
+
+    def process_prior_output(self, prior, use_sigmoid: Optional[bool] = None):
+        if use_sigmoid is None:
+            use_sigmoid = self.use_prior_sigmoid
+        return jax.nn.sigmoid(prior) if use_sigmoid else prior
+
+    def get_prior_input(self, _input, grid=None):
+        """Extract the prior's coordinate input.
+
+        Spec: `wrapper_module.py:80-127` ``get_prior_args``.
+        """
+        if self.prior_arg_mode == "none":
+            return None
+        if self.prior_arg_mode == "xy_c_preattached":
+            return _input[..., 0:2]
+        if self.prior_arg_mode in ("param_grid", "param_clean_grid"):
+            if grid is None:
+                raise ValueError(
+                    f"prior_arg_mode {self.prior_arg_mode} requires a grid"
+                )
+            return grid
+        raise ValueError(f"Unknown prior_arg_mode {self.prior_arg_mode}")
+
+    def enforce_convexity(self, params):
+        if self.prior_module is None or "prior" not in params:
+            return params
+        return dict(
+            params,
+            prior=self.prior_module.enforce_convexity(params["prior"]),
+        )
+
+    # ---- forward ---------------------------------------------------------
+    def apply(
+        self,
+        params,
+        _input,
+        features=None,
+        grid=None,
+        seg_state=None,
+        evaluate_prior: bool = True,
+        train: bool = False,
+    ):
+        """Pixel mode: ``_input`` (N, C) -> (N, 2).
+        Image mode: ``_input`` NHWC image, ``features`` NHWC, ``grid``
+        (N_pts, C) clean coordinate points -> (B, H, W, 2*out_chn).
+        Stateful seg modules additionally return new_seg_state.
+        """
+        if self.input_mode == "pixel":
+            segm = self.segmentation_module.apply(params["seg"], _input)
+            segm = self.process_segmentation_output(segm)
+            if self.prior_module is None or not evaluate_prior:
+                return segm
+            prior_in = self.get_prior_input(_input, grid)
+            prior = self.prior_module.apply(params["prior"], prior_in)
+            prior = self.process_prior_output(prior)
+            return jnp.concatenate([segm, prior], axis=-1)
+
+        if self.input_mode == "image":
+            if self.seg_stateful:
+                segm, new_state = self.segmentation_module.apply(
+                    params["seg"], seg_state, _input, features, train=train
+                )
+            else:
+                segm = self.segmentation_module.apply(
+                    params["seg"], _input, features
+                )
+                new_state = None
+            segm = self.process_segmentation_output(segm)
+            if self.prior_module is None or not evaluate_prior:
+                return (segm, new_state) if self.seg_stateful else segm
+            prior_in = self.get_prior_input(None, grid)
+            prior_pts = self.prior_module.apply(params["prior"], prior_in)
+            prior_pts = self.process_prior_output(prior_pts)
+            b, h, w, c = segm.shape
+            prior_img = prior_pts.reshape(b, h, w, c)
+            out = jnp.concatenate([segm, prior_img], axis=-1)
+            return (out, new_state) if self.seg_stateful else out
+
+        raise ValueError(f"Unknown input_mode {self.input_mode}")
+
+    def split_output(self, output) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Split combined output back into (seg, prior).
+
+        Spec: `wrapper_module.py:276-319` ``split_model_output``.
+        """
+        if self.prior_module is None:
+            return output, None
+        half = output.shape[-1] // 2
+        return output[..., :half], output[..., half:]
