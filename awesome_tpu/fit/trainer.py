@@ -1,0 +1,230 @@
+"""Joint training engine: segmentation net + per-image priors in one
+compiled step — the TPU-native replacement of the reference's TorchAgent
+epoch/step loops (`awesome/agent/torch_agent.py:183-527`).
+
+Reference semantics per step (batch=1 image): swap that image's prior
+weights into the live model (PriorManager), forward seg + prior, joint
+loss, backward, optimizer step on BOTH, convexity clip, write mutated prior
+weights back to the cache. Host syncs every batch.
+
+TPU design: prior parameters for ALL images live in one stacked PyTree
+(with per-image optimizer moments stacked alongside). A step takes a batch
+of image indices, gathers their prior slices, ``vmap``s the prior forward,
+computes the joint loss, and scatters updated slices back — one XLA
+program, no host round trips. Sharding: batch axis over the mesh's 'data'
+axis; the shared seg params are replicated (XLA inserts the grad psum).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from awesome_tpu.core import tree as T
+from awesome_tpu.fit import optim
+from awesome_tpu.measures.losses import fbms_joint_loss
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class JointTrainConfig:
+    """Defaults mirror the joint FBMS config
+    (`config/path-connectedness/joint/UNET+cars3+edge+diffeo+original+joint.yaml`):
+    lr 1e-4, Adam on the seg net, Adamax on the priors, sssdms-weighted BCE
+    + soft-clipped SE penalty."""
+
+    lr: float = 1e-4
+    prior_lr: float = 1e-4
+    optimizer: str = "adam"
+    prior_optimizer: str = "adamax"
+    flow_weight_decay: float = 1e-5
+    alpha: float = 1.0
+    beta: float = 1.0
+    clip_penalty: bool = True
+    train_segmentation: bool = True  # mode 'single'/'multi' vs 'none'
+    nan_guard: bool = True
+
+
+class JointTrainState(NamedTuple):
+    seg_params: Params
+    seg_state: Any  # batchnorm running stats (or None)
+    seg_opt: Any
+    prior_params: Params  # stacked over ALL dataset images
+    prior_opt: Any  # stacked optimizer moments
+    step: jnp.ndarray
+
+
+def _optim(name: str):
+    return {
+        "adam": (optim.adam_init, optim.adam_update),
+        "adamax": (optim.adamax_init, optim.adamax_update),
+    }[name]
+
+
+def joint_train_init(
+    wrapper,
+    key: jax.Array,
+    num_images: int,
+    cfg: JointTrainConfig,
+    seg_init=None,
+) -> JointTrainState:
+    """Build the train state: seg params + stacked per-image prior params
+    (the prior cache as a device array, `awesome/util/prior_cache.py:10`)."""
+    k_seg, k_prior = jax.random.split(key)
+    if seg_init is not None:
+        seg_params, seg_state = seg_init
+    elif wrapper.seg_stateful:
+        seg_params, seg_state = wrapper.segmentation_module.init(k_seg)
+    else:
+        seg_params, seg_state = wrapper.segmentation_module.init(k_seg), None
+    seg_opt = _optim(cfg.optimizer)[0](seg_params)
+    prior_keys = jax.random.split(k_prior, num_images)
+    prior_params = jax.vmap(wrapper.prior_module.init)(prior_keys)
+    prior_opt = jax.vmap(_optim(cfg.prior_optimizer)[0])(prior_params)
+    return JointTrainState(
+        seg_params=seg_params,
+        seg_state=seg_state,
+        seg_opt=seg_opt,
+        prior_params=prior_params,
+        prior_opt=prior_opt,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_joint_train_step(
+    wrapper,
+    cfg: JointTrainConfig,
+    loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build ``step(state, batch) -> (state, metrics)``.
+
+    ``batch``: dict with 'image' (B,H,W,C), 'features' (B,H,W,F), 'grid'
+    (B,N,2) or (N,2) shared, 'target' (B,H,W,1), 'index' (B,) int32 —
+    dataset indices selecting prior slices.
+    """
+    seg_upd = _optim(cfg.optimizer)[1]
+    prior_upd = _optim(cfg.prior_optimizer)[1]
+
+    if loss_fn is None:
+
+        def loss_fn(output, target):
+            # output (B,H,W,2): [seg, prior] channels; fbms_joint_loss wants
+            # channel-first halves -> transpose to (B, 2, H, W)
+            out_cf = jnp.moveaxis(output, -1, 1)
+            tgt_cf = jnp.moveaxis(target, -1, 1)
+            return fbms_joint_loss(
+                out_cf,
+                tgt_cf,
+                alpha=cfg.alpha,
+                beta=cfg.beta,
+                clip_penalty=cfg.clip_penalty,
+            )
+
+    def forward(seg_params, prior_batch, seg_state, batch):
+        image, feats, grid = batch["image"], batch["features"], batch["grid"]
+        if wrapper.seg_stateful:
+            seg_logits, new_seg_state = wrapper.segmentation_module.apply(
+                seg_params, seg_state, image, feats, train=cfg.train_segmentation
+            )
+        else:
+            seg_logits = wrapper.segmentation_module.apply(
+                seg_params, image, feats
+            )
+            new_seg_state = seg_state
+        seg = wrapper.process_segmentation_output(seg_logits)
+
+        def prior_one(pp, g):
+            return wrapper.process_prior_output(
+                wrapper.prior_module.apply(pp, g)
+            )
+
+        grid_axes = 0 if grid.ndim == 3 else None
+        prior_pts = jax.vmap(prior_one, in_axes=(0, grid_axes))(
+            prior_batch, grid
+        )  # (B, N, 1)
+        b, h, w, c = seg.shape
+        prior_img = prior_pts.reshape(b, h, w, c)
+        out = jnp.concatenate([seg, prior_img], axis=-1)
+        return out, new_seg_state
+
+    def step(state: JointTrainState, batch):
+        idx = batch["index"]
+        prior_batch = T.tree_select(state.prior_params, idx)
+        prior_opt_batch = jax.tree_util.tree_map(
+            lambda x: x[idx] if x.ndim > 0 else x, state.prior_opt
+        )
+
+        def compute_loss(seg_params, prior_batch):
+            out, new_seg_state = forward(
+                seg_params, prior_batch, state.seg_state, batch
+            )
+            res = loss_fn(out, batch["target"])
+            if isinstance(res, dict):
+                return res["loss"], (res, new_seg_state)
+            return res, ({"loss": res}, new_seg_state)
+
+        (loss, (metrics, new_seg_state)), (seg_g, prior_g) = jax.value_and_grad(
+            compute_loss, argnums=(0, 1), has_aux=True
+        )(state.seg_params, prior_batch)
+
+        ok = jnp.isfinite(loss) if cfg.nan_guard else jnp.asarray(True)
+
+        # --- segmentation update (shared params) -------------------------
+        if cfg.train_segmentation:
+            new_seg, new_seg_opt = seg_upd(
+                state.seg_params, seg_g, state.seg_opt, cfg.lr
+            )
+            new_seg = T.tree_where(ok, new_seg, state.seg_params)
+            new_seg_opt = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_seg_opt, state.seg_opt
+            )
+        else:
+            new_seg, new_seg_opt = state.seg_params, state.seg_opt
+
+        # --- per-image prior update (vmapped, scattered back) ------------
+        wd = None
+        if hasattr(wrapper.prior_module, "param_groups"):
+            groups = wrapper.prior_module.param_groups(
+                T.tree_select(prior_batch, 0)
+            )
+            wd = jax.tree_util.tree_map(
+                lambda s: cfg.flow_weight_decay if s == "flow" else 0.0, groups
+            )
+
+        def upd_one(pp, g, op):
+            new_pp, new_op = prior_upd(pp, g, op, cfg.prior_lr, weight_decay=wd)
+            if hasattr(wrapper.prior_module, "enforce_convexity"):
+                new_pp = wrapper.prior_module.enforce_convexity(new_pp)
+            return new_pp, new_op
+
+        new_prior_batch, new_prior_opt_batch = jax.vmap(upd_one)(
+            prior_batch, prior_g, prior_opt_batch
+        )
+        new_prior_batch = T.tree_where(ok, new_prior_batch, prior_batch)
+        new_prior_opt_batch = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b),
+            new_prior_opt_batch,
+            prior_opt_batch,
+        )
+        new_prior = T.tree_update(state.prior_params, idx, new_prior_batch)
+        new_prior_opt = jax.tree_util.tree_map(
+            lambda s, v: s.at[idx].set(v) if s.ndim > 0 else v,
+            state.prior_opt,
+            new_prior_opt_batch,
+        )
+
+        new_state = JointTrainState(
+            seg_params=new_seg,
+            seg_state=new_seg_state,
+            seg_opt=new_seg_opt,
+            prior_params=new_prior,
+            prior_opt=new_prior_opt,
+            step=state.step + 1,
+        )
+        metrics = dict(metrics, nan_skipped=jnp.logical_not(ok))
+        return new_state, metrics
+
+    return step

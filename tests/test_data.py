@@ -1,0 +1,129 @@
+import os
+
+import numpy as np
+import pytest
+
+from awesome_tpu.data.batching import bucket_size, pad_points, stack_padded
+from awesome_tpu.data.convexity import ConvexityDataset, ConvexitySample
+from awesome_tpu.data.image_sample import (
+    assemble_channels,
+    edge_map,
+    semantic_features,
+)
+from awesome_tpu.data.split import split_indices
+from awesome_tpu.data.synthetic import make_sample, synthetic_convexity_dataset
+
+
+def test_synthetic_sample_conventions():
+    s = make_sample(0, h=32, w=32)
+    assert s.image.shape == (32, 32, 3)
+    assert s.gt.shape == (32, 32)
+    # fg = 0 convention
+    assert (s.gt[s.fg_mask] == 0).all()
+    assert set(np.unique(s.gt)) <= {0.0, 1.0}
+
+
+def test_important_pixels_layout():
+    s = make_sample(1, h=32, w=32)
+    px, gt = s.important_pixels()
+    assert px.shape[1] == 5 and gt.shape[1] == 1
+    assert px.shape[0] == (s.fg_mask | s.bg_mask).sum()
+    # normalized coords in [-0.5, 0.5]
+    assert px[:, :2].min() >= -0.5 and px[:, :2].max() <= 0.5
+    # rgb values match the image at those positions
+    idx = np.argwhere(s.fg_mask | s.bg_mask)
+    np.testing.assert_allclose(px[:, 2:], s.image[idx[:, 0], idx[:, 1]])
+
+
+def test_scribble_percentage_topup():
+    s = make_sample(2, h=32, w=32)
+    px_full, _ = s.pixels(1.0)
+    px_top, _ = s.pixels(0.5)
+    assert px_top.shape[0] >= 2 * px_full.shape[0] - 1
+
+
+def test_pad_and_bucket():
+    assert bucket_size(1000) == 1024
+    assert bucket_size(1025) == 2048
+    px = np.ones((10, 5), np.float32)
+    padded, mask = pad_points(px, 16)
+    assert padded.shape == (16, 5)
+    assert mask.sum() == 10
+    batch, masks = stack_padded([np.ones((5, 5)), np.ones((9, 5))], granularity=8)
+    assert batch.shape == (2, 16, 5)
+    np.testing.assert_array_equal(masks.sum(axis=1), [5, 9])
+
+
+def test_split_indices_seeded_and_persisted(tmp_path):
+    t1, v1 = split_indices(50, 0.8, seed=7)
+    t2, v2 = split_indices(50, 0.8, seed=7)
+    assert t1 == t2 and v1 == v2
+    assert len(t1) == 40 and len(v1) == 10
+    f = str(tmp_path / "split.json")
+    t3, v3 = split_indices(50, 0.8, seed=9, indices_file=f)
+    # persisted file wins even with a different seed
+    t4, v4 = split_indices(50, 0.8, seed=123, indices_file=f)
+    assert t3 == t4 and v3 == v4
+
+
+def test_convexity_dataset_from_disk(tmp_path):
+    """Write a synthetic scene in the reference's directory layout and read
+    it back through the directory-indexed loader."""
+    from PIL import Image
+
+    for sub in ("img", "ground_truth", "user_scribbles"):
+        os.makedirs(tmp_path / sub)
+    s = make_sample(3, h=24, w=24)
+    Image.fromarray((s.image * 255).astype(np.uint8)).save(
+        tmp_path / "img" / "img_1.png"
+    )
+    Image.fromarray(((1 - s.gt) * 255).astype(np.uint8)).save(
+        tmp_path / "ground_truth" / "GT_1.png"
+    )
+    scr = np.zeros((24, 24), np.uint8)
+    scr[s.bg_mask] = 128
+    scr[s.fg_mask] = 255
+    Image.fromarray(scr).save(tmp_path / "user_scribbles" / "scribbleMask_1.png")
+
+    ds = ConvexityDataset(str(tmp_path))
+    assert len(ds) == 1
+    px, gt = ds[0]
+    assert px.shape[1] == 5
+    loaded = ds.load(0)
+    # GT roundtrip: png value 255 (=1.0) -> class 0
+    assert (loaded.gt[s.gt == 0] == 0).all()
+    np.testing.assert_array_equal(loaded.fg_mask, s.fg_mask)
+
+
+def test_edge_map_detects_edges():
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, 16:] = 1.0
+    e = edge_map(img)
+    assert e.shape == (32, 32)
+    assert e[:, 14:18].mean() > 5 * (e[:, :8].mean() + 1e-6)
+
+
+def test_semantic_features_pca():
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(16, 16, 8)).astype(np.float32)
+    f = semantic_features(emb)
+    assert f.shape == (16, 16, 2)
+    assert f.min() >= 0 and f.max() <= 1
+
+
+def test_assemble_channels_modes():
+    img = np.zeros((8, 10, 3), np.float32)
+    xy = assemble_channels(img, "xy")
+    assert xy.shape == (8, 10, 2)
+    xy_t = assemble_channels(img, "xy", t=1.0, t_max=4.0)
+    assert xy_t.shape == (8, 10, 3)
+    np.testing.assert_allclose(xy_t[..., 2], 0.25)
+    scr = np.zeros((8, 10), np.int32)
+    scr[0, 0] = 1
+    scr[7, 9] = 2
+    ds = assemble_channels(img, "distance_scribble", scribble=scr)
+    assert ds.shape == (8, 10, 2)
+    # channel i = distance to class i (max class = none-class, excluded)
+    assert ds[4, 5, 0] == 0.0  # a class-0 pixel has zero distance to class 0
+    assert ds[0, 0, 1] == 0.0  # the class-1 scribble pixel, channel 1
+    assert ds[0, 0, 0] > 0.0  # but positive distance to class 0
