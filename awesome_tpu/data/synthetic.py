@@ -47,16 +47,27 @@ def make_sample(
 
     visible = obj.copy()
     if occlude:
-        stripe = _shape_mask(rng, h, w) & obj
-        # occluder drawn over the object in a dark color
+        # occluder: a rotated stripe of bounded width so a guaranteed
+        # majority of the object stays visible (a full random shape could
+        # swallow it entirely and leave no fg scribbles)
+        yy, xx = np.mgrid[0:h, 0:w]
+        theta = rng.uniform(0, np.pi)
+        d = (yy - h / 2) * np.cos(theta) + (xx - w / 2) * np.sin(theta)
+        offset = rng.uniform(-0.15, 0.15) * min(h, w)
+        stripe = (np.abs(d - offset) < 0.08 * min(h, w)) & obj
         image[stripe] = rng.uniform(0.0, 0.25, size=(3,)).astype(np.float32)
         visible = obj & ~stripe
 
     gt = 1.0 - obj.astype(np.float32)  # fg = 0 convention
 
-    # scribbles: thin erosions of visible fg and of bg
+    # scribbles: random subsets of visible fg and of bg, with a floor so
+    # every sample carries both classes
     fg_scr = visible & (rng.random((h, w)) < 0.25)
     bg_scr = (~obj) & (rng.random((h, w)) < 0.1)
+    if fg_scr.sum() < 8:
+        idx = np.argwhere(visible)
+        take = idx[rng.permutation(len(idx))[: max(8, len(idx) // 4)]]
+        fg_scr[take[:, 0], take[:, 1]] = True
     return ConvexitySample(
         image=image, gt=gt, fg_mask=fg_scr, bg_mask=bg_scr, index=seed
     )

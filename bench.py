@@ -1,0 +1,89 @@
+"""Benchmark: coord-point-steps/s/chip on the flagship prior fit.
+
+Measures the fully-compiled batched prior fit (the framework's hot loop and
+the paper's dominant cost): B images x S Adamax steps over an HxW
+coordinate grid through the flagship path-connected prior (RealNVP 12
+flows + ConvexNextNet ICNN), including ReduceLROnPlateau, NaN guard and
+convexity projection — i.e. exactly what the reference does serially in
+Python (`awesome/model/path_connected_net.py:730-1008`, 2000 steps/image,
+batch 1, host sync every step).
+
+vs_baseline: the reference publishes no wall-clock numbers (BASELINE.md);
+the baseline constant below is an estimate of the reference loop on its
+original single-CUDA-GPU setup: ~150 small kernel launches per step +
+per-step host sync bounds it to ~3ms/step at 154k grid points =>
+~5.1e7 point-steps/s. We report value / BASELINE_POINT_STEPS_PER_SEC.
+
+Prints ONE JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_POINT_STEPS_PER_SEC = 5.1e7  # estimated reference GPU throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.core import grids as G
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import make_fit_fn
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+    h = w = 128
+    batch = 8
+    steps = 500
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    fg = (((yy - h / 2) ** 2 / (0.09 * h * h)
+           + (xx - w / 2) ** 2 / (0.05 * w * w)) <= 1.0)
+    unaries = 1.0 - fg.astype(np.float32)
+    points = G.flatten_grid(G.pixel_grid((h, w)))
+    target = jnp.asarray(unaries).reshape(-1, 1)
+    targets = jnp.stack([target] * batch)
+
+    model = real_nvp_path_connected_net(
+        channels=2, hidden_units=32, flow_n_flows=12, flow_output_fn="tanh",
+        spatial_shape=(h, w), convex_net_hidden_units=130,
+        convex_net_hidden_layers=2,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    stacked = jax.vmap(model.init)(keys)
+
+    cfg = FitConfig(num_steps=steps, lr=1e-3)
+    fit = make_fit_fn(model, cfg)
+    vfit = jax.jit(jax.vmap(fit, in_axes=(0, None, 0)))
+
+    # warmup/compile
+    fitted, aux = vfit(stacked, points, targets)
+    jax.block_until_ready(fitted)
+
+    t0 = time.time()
+    fitted, aux = vfit(stacked, points, targets)
+    jax.block_until_ready(fitted)
+    dt = time.time() - t0
+
+    assert bool(np.isfinite(np.asarray(aux["loss_hist"])).all()), "NaN in fit"
+    point_steps = batch * steps * points.shape[0]
+    value = point_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "coord-point-steps/s/chip (batched prior fit)",
+                "value": round(value, 1),
+                "unit": "point-steps/s",
+                "vs_baseline": round(value / BASELINE_POINT_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

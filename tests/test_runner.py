@@ -1,0 +1,87 @@
+"""End-to-end runner test: synthetic convexity experiment through the full
+config -> build -> train -> evaluate -> save pipeline."""
+import os
+
+import numpy as np
+
+from awesome_tpu.runner.config import AwesomeConfig, Config
+from awesome_tpu.runner.runner import AwesomeRunner
+
+
+def _config(tmp_path, epochs=120):
+    return AwesomeConfig(
+        name_experiment="synthetic_convexity",
+        dataset_args={"n": 3, "h": 32, "w": 32},
+        segmentation_model_args={"n_hidden": 32},
+        prior_model_args={"n_hidden": 24, "n_hidden_layers": 1},
+        optimizer_type="adam",
+        optimizer_args={"lr": 0.02},
+        num_epochs=epochs,
+        scribble_percentage=0.8,
+        use_extra_penalty_hook=True,
+        extra_penalty_after_n_epochs=max(epochs - 40, 10),
+        runs_path=str(tmp_path),
+        seed=3,
+    )
+
+
+def test_runner_end_to_end(tmp_path):
+    cfg = _config(tmp_path)
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    result = runner.train()
+    loss = result["loss_hist"]
+    assert np.isfinite(loss).all()
+    assert loss[:, -1].mean() < loss[:, 0].mean()
+    metrics = runner.evaluate()
+    assert 0.0 <= metrics["MeanForegroundBinaryMIOU"] <= 1.0
+    # with scribbles on a clean synthetic object even a short run should
+    # reach a sensible IoU
+    assert metrics["MeanForegroundBinaryMIOU"] > 0.4, metrics
+    out = runner.save_results()
+    assert os.path.exists(os.path.join(out, "config.yaml"))
+    assert os.path.exists(os.path.join(out, "tracker.json"))
+    assert os.path.exists(os.path.join(out, "params.npz"))
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = _config(tmp_path)
+    cfg.prepare()
+    path = str(tmp_path / "c.yaml")
+    cfg.save(path)
+    loaded = AwesomeConfig.load(path)
+    assert loaded.optimizer_args == cfg.optimizer_args
+    assert loaded.num_epochs == cfg.num_epochs
+    assert loaded.name_experiment == cfg.name_experiment
+
+
+def test_config_diff():
+    a = AwesomeConfig(num_epochs=100)
+    b = AwesomeConfig(num_epochs=200, optimizer_args={"lr": 0.1})
+    ch = b.changes(a)
+    assert set(ch) == {"num_epochs", "optimizer_args"}
+
+
+def test_config_argparse_bridge():
+    parser = AwesomeConfig.get_parser()
+    args = parser.parse_args(
+        ["--num-epochs", "5", "--optimizer-args", "{lr: 0.5}",
+         "--use-prior-model", "false"]
+    )
+    cfg = AwesomeConfig()
+    cfg.apply_parsed_args(args)
+    assert cfg.num_epochs == 5
+    assert cfg.optimizer_args == {"lr": 0.5}
+    assert cfg.use_prior_model is False
+
+
+def test_reference_type_translation():
+    cfg = AwesomeConfig(
+        prior_model_type="awesome.model.net_factory.real_nvp_path_connected_net",
+        optimizer_type="torch.optim.Adamax",
+    )
+    cfg.prepare()
+    assert cfg.prior_model_type == (
+        "awesome_tpu.nn.path_connected.real_nvp_path_connected_net"
+    )
+    assert cfg.optimizer_type == "adamax"
