@@ -1,0 +1,72 @@
+"""CRF mean-field tests: smoothing, edge-respecting refinement."""
+import numpy as np
+
+from awesome_tpu.ops.crf import CRFOptions, dense_crf
+
+
+def _scene(h=48, w=48):
+    """Two-tone image: bright object on dark background."""
+    img = np.zeros((h, w, 3), np.float32) + 0.1
+    obj = np.zeros((h, w), bool)
+    obj[12:36, 12:36] = True
+    img[obj] = 0.9
+    return img, obj
+
+
+def test_crf_denoises_salt_and_pepper():
+    img, obj = _scene()
+    rng = np.random.default_rng(0)
+    probs = np.where(obj, 0.9, 0.1).astype(np.float32)
+    noise = rng.random(obj.shape) < 0.1
+    probs = np.where(noise, 1.0 - probs, probs)
+    opts = CRFOptions(
+        max_iterations=5,
+        gaussian_sdims=(3, 3),
+        bilateral_sdims=(10, 10),
+    )
+    out = dense_crf(img, probs[..., None], options=opts)[..., 0]
+    refined = out > 0.5
+    base_err = ((probs > 0.5) != obj).mean()
+    crf_err = (refined != obj).mean()
+    assert crf_err < base_err, (crf_err, base_err)
+    assert crf_err < 0.02
+
+
+def test_crf_respects_color_edges():
+    """An uncertain band at the object border should snap to the color
+    edge, not bleed across it."""
+    img, obj = _scene()
+    probs = np.where(obj, 0.85, 0.15).astype(np.float32)
+    # uncertainty band straddling the right edge
+    probs[:, 30:42] = 0.5
+    opts = CRFOptions(max_iterations=10, bilateral_sdims=(20, 20),
+                      bilateral_compat=10.0)
+    out = dense_crf(img, probs[..., None], options=opts)[..., 0]
+    refined = out > 0.5
+    inside_band = refined[16:32, 31:35]
+    outside_band = refined[16:32, 37:41]
+    assert inside_band.mean() > 0.9, inside_band.mean()
+    assert outside_band.mean() < 0.1, outside_band.mean()
+
+
+def test_crf_multiclass_and_shapes():
+    img, obj = _scene(32, 32)
+    probs = np.stack(
+        [np.where(obj, 0.8, 0.1), np.where(obj, 0.1, 0.8),
+         np.full(obj.shape, 0.1)], axis=-1
+    ).astype(np.float32)
+    out = dense_crf(img, probs, options=CRFOptions(max_iterations=3))
+    assert out.shape == (32, 32, 3)
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+
+
+def test_crf_channel_first_inputs():
+    img, obj = _scene(32, 32)
+    probs = np.where(obj, 0.9, 0.1).astype(np.float32)
+    out_cf = dense_crf(
+        img.transpose(2, 0, 1), probs[None],
+        options=CRFOptions(max_iterations=2),
+    )
+    out_cl = dense_crf(img, probs[..., None],
+                       options=CRFOptions(max_iterations=2))
+    np.testing.assert_allclose(out_cf, out_cl, atol=1e-6)
