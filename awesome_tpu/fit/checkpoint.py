@@ -1,0 +1,139 @@
+"""Checkpointing: agent-checkpoint bundles + stacked prior caches.
+
+Behavior port of the reference's multi-granular scheme (SURVEY.md §5.4):
+
+- agent checkpoints bundling model/optimizer params+state, tracker and
+  config (`awesome/agent/torch_agent_checkpoint.py`,
+  `awesome/agent/torch_agent.py:1005-1136` to_acc/from_acc/load_acc),
+- prior-cache checkpoints = the whole stacked per-image param tree
+  (`awesome/util/prior_cache.py:61-91` save/load),
+- pretrain-state files enabling skip of the sequential fit
+  (`awesome/agent/torch_agent.py:569-607`).
+
+Uses Orbax when available (async, sharding-aware — the TPU-native choice),
+with a plain .npz fallback so checkpoints never block on optional deps.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _try_orbax():
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp
+    except Exception:
+        return None
+
+
+def save_pytree(tree: Any, path: str) -> None:
+    """Persist an arbitrary param PyTree (directory via Orbax, else .npz +
+    pickled treedef)."""
+    import jax
+
+    ocp = _try_orbax()
+    if ocp is not None:
+        try:
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(os.path.abspath(path), tree, force=True)
+            return
+        except Exception:
+            pass
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez(path + ".npz", *[np.asarray(x) for x in leaves])
+    with open(path + ".treedef.pkl", "wb") as f:
+        pickle.dump(treedef, f)
+
+
+def load_pytree(path: str, template: Optional[Any] = None) -> Any:
+    import jax
+    import jax.numpy as jnp
+
+    ocp = _try_orbax()
+    if ocp is not None and os.path.isdir(path):
+        ckptr = ocp.PyTreeCheckpointer()
+        return ckptr.restore(os.path.abspath(path))
+    data = np.load(path + ".npz")
+    leaves = [jnp.asarray(data[k]) for k in data.files]
+    if template is not None:
+        _, treedef = jax.tree_util.tree_flatten(template)
+    else:
+        with open(path + ".treedef.pkl", "rb") as f:
+            treedef = pickle.load(f)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class AgentCheckpoint:
+    """Bundle of everything needed to resume or analyze a run."""
+
+    def __init__(
+        self,
+        name: str,
+        params: Any,
+        opt_state: Any = None,
+        tracker: Optional[Dict] = None,
+        config: Optional[Dict] = None,
+        extra: Optional[Dict] = None,
+    ):
+        self.name = name
+        self.params = params
+        self.opt_state = opt_state
+        self.tracker = tracker
+        self.config = config
+        self.extra = extra or {}
+
+    def save(self, directory: str) -> str:
+        os.makedirs(directory, exist_ok=True)
+        save_pytree(self.params, os.path.join(directory, "params"))
+        if self.opt_state is not None:
+            save_pytree(self.opt_state, os.path.join(directory, "opt_state"))
+        meta = {
+            "name": self.name,
+            "tracker": self.tracker,
+            "config": self.config,
+            "extra": self.extra,
+            "has_opt_state": self.opt_state is not None,
+        }
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
+        return directory
+
+    @classmethod
+    def load(
+        cls,
+        directory: str,
+        params_template: Optional[Any] = None,
+        opt_template: Optional[Any] = None,
+    ) -> "AgentCheckpoint":
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        params = load_pytree(os.path.join(directory, "params"), params_template)
+        opt_state = None
+        if meta.get("has_opt_state"):
+            opt_state = load_pytree(
+                os.path.join(directory, "opt_state"), opt_template
+            )
+        return cls(
+            name=meta["name"],
+            params=params,
+            opt_state=opt_state,
+            tracker=meta.get("tracker"),
+            config=meta.get("config"),
+            extra=meta.get("extra", {}),
+        )
+
+
+def save_prior_cache(stacked_params: Any, path: str) -> None:
+    """Prior-cache checkpoint: the stacked per-image tree in one file."""
+    save_pytree(stacked_params, path)
+
+
+def load_prior_cache(path: str, template: Optional[Any] = None) -> Any:
+    return load_pytree(path, template)
