@@ -1,0 +1,428 @@
+"""FBMS-59 video-sequence dataset: frames, sparse multicut trajectories ->
+dense weak-label masks, ground-truth annotations, label-noise injection.
+
+Behavior port of `awesome/dataset/fbms_sequence_dataset.py:54-892` and
+`awesome/dataset/trajectory_util/*`:
+
+- Brox tracks files ("object_id length" + length x "x y frame") parsed by
+  the native C++ parser (native/trajectory_parser.cpp) with a pure-Python
+  fallback (`fbms_sequence_dataset.py:736-789` is the Python spec),
+- per-frame weak-label masks from trajectory points
+  (`:358-399` trajectories_frame_to_mask),
+- <Seq>Def.dat ground-truth description files (region count, labeled
+  frame list; `trajectory_util/ground_truth_description_file.py`),
+- probabilistic weak-label flipping for the noisy spatio-temporal
+  experiments (`fbms_sequence_sample.py:706` via ``flip_probability``),
+- (x, y, t) positional channels for the spatio-temporal prior
+  (`awesome/dataset/transformator.py:54-60`).
+
+Object-id convention: trajectory object id 0 is background; ids > 0 are
+foreground objects. Weak-label mask encoding follows the unaries
+convention: fg = 0, bg = 1, unlabeled = NaN -> handled by the callers as
+"no supervision" (weight 0).
+"""
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+import re
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_TRAJ_LIB: Optional[ctypes.CDLL] = None
+
+
+@dataclasses.dataclass
+class Trajectory:
+    """Spec: `awesome/dataset/trajectory_util/trajectory.py:13-30`."""
+
+    object_id: int
+    coordinates: np.ndarray  # (L, 2) as (x, y)
+    frame_ids: np.ndarray  # (L,)
+    line_start: int = -1
+
+
+def _load_traj_lib() -> Optional[ctypes.CDLL]:
+    global _TRAJ_LIB
+    if _TRAJ_LIB is not None:
+        return _TRAJ_LIB
+    so = os.path.join(_NATIVE_DIR, "libtrajparse.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(so)
+        lp = ctypes.POINTER(ctypes.c_long)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.traj_count.argtypes = [ctypes.c_char_p, lp, lp]
+        lib.traj_count.restype = ctypes.c_int
+        lib.traj_parse.argtypes = [ctypes.c_char_p, lp, lp, dp, lp]
+        lib.traj_parse.restype = ctypes.c_int
+        _TRAJ_LIB = lib
+        return lib
+    except Exception:
+        return None
+
+
+def parse_trajectories_file(path: str, use_native: bool = True
+                            ) -> List[Trajectory]:
+    """Parse a Brox tracks file; native fast path, Python fallback."""
+    lib = _load_traj_lib() if use_native else None
+    if lib is not None:
+        n_traj = ctypes.c_long()
+        n_points = ctypes.c_long()
+        rc = lib.traj_count(path.encode(), ctypes.byref(n_traj),
+                            ctypes.byref(n_points))
+        if rc >= 0:
+            nt, npts = n_traj.value, n_points.value
+            object_ids = np.zeros(nt, np.int64)
+            lengths = np.zeros(nt, np.int64)
+            coords = np.zeros(npts * 2, np.float64)
+            frames = np.zeros(npts, np.int64)
+            lp = ctypes.POINTER(ctypes.c_long)
+            dp = ctypes.POINTER(ctypes.c_double)
+            rc2 = lib.traj_parse(
+                path.encode(),
+                object_ids.ctypes.data_as(lp),
+                lengths.ctypes.data_as(lp),
+                coords.ctypes.data_as(dp),
+                frames.ctypes.data_as(lp),
+            )
+            if rc2 == 0:
+                out = []
+                off = 0
+                starts = np.zeros(nt, np.int64)
+                for i in range(nt):
+                    ln = int(lengths[i])
+                    out.append(
+                        Trajectory(
+                            object_id=int(object_ids[i]),
+                            coordinates=coords[2 * off:2 * (off + ln)]
+                            .reshape(ln, 2),
+                            frame_ids=frames[off:off + ln],
+                            line_start=int(starts[i]),
+                        )
+                    )
+                    off += ln
+                return out
+    # Python fallback (reference-spec algorithm)
+    with open(path) as f:
+        lines = f.readlines()
+    num = int(lines[1])
+    out = []
+    i = 2
+    while i < len(lines):
+        parts = lines[i].split()
+        if not parts:
+            i += 1
+            continue
+        oid, ln = int(parts[0]), int(parts[1])
+        pts = [lines[i + 1 + k].split() for k in range(ln)]
+        out.append(
+            Trajectory(
+                object_id=oid,
+                coordinates=np.asarray(
+                    [[float(p[0]), float(p[1])] for p in pts]
+                ),
+                frame_ids=np.asarray([int(p[2]) for p in pts]),
+                line_start=i + 1,
+            )
+        )
+        i += 1 + ln
+    assert len(out) == num, f"expected {num} trajectories, got {len(out)}"
+    return out
+
+
+def trajectories_frame_to_mask(
+    trajectories: Sequence[Trajectory],
+    frame_id: int,
+    image_shape: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-object point masks for one frame: (N_obj, H, W) + object ids.
+
+    Spec: `fbms_sequence_dataset.py:358-399` (coordinates rounded, (x, y)
+    order, indexed mask[y, x]).
+    """
+    h, w = image_shape
+    by_obj: Dict[int, List[np.ndarray]] = {}
+    for t in trajectories:
+        sel = t.frame_ids == frame_id
+        if sel.any():
+            by_obj.setdefault(t.object_id, []).append(t.coordinates[sel])
+    ids = np.asarray(sorted(by_obj))
+    mask = np.zeros((len(ids), h, w), np.float32)
+    for i, oid in enumerate(ids):
+        pts = np.concatenate(by_obj[oid], axis=0)
+        x = np.clip(np.round(pts[:, 0]).astype(int), 0, w - 1)
+        y = np.clip(np.round(pts[:, 1]).astype(int), 0, h - 1)
+        mask[i, y, x] = 1.0
+    return mask, ids
+
+
+def weak_label_unaries(
+    trajectories: Sequence[Trajectory],
+    frame_id: int,
+    image_shape: Tuple[int, int],
+    foreground_ids: Optional[Sequence[int]] = None,
+    flip_probability: float = 0.0,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse weak-label unaries for one frame.
+
+    Returns (unaries (H, W) with fg=0 / bg=1, labeled-mask (H, W) bool).
+    Unlabeled pixels hold 1 but labeled=False (use as loss weight).
+    ``flip_probability`` flips each labeled point's class — the noise
+    injection of the noisy spatio-temporal experiments
+    (`fbms_sequence_sample.py:706`, `fbms_sequence_dataset.py:92`).
+    """
+    masks, ids = trajectories_frame_to_mask(
+        trajectories, frame_id, image_shape
+    )
+    h, w = image_shape
+    unaries = np.ones((h, w), np.float32)
+    labeled = np.zeros((h, w), bool)
+    if len(ids) == 0:
+        return unaries, labeled
+    if foreground_ids is None:
+        foreground_ids = [i for i in ids if i != 0]
+    fg = np.zeros((h, w), bool)
+    bg = np.zeros((h, w), bool)
+    for i, oid in enumerate(ids):
+        m = masks[i] > 0
+        if oid in foreground_ids:
+            fg |= m
+        else:
+            bg |= m
+    labeled = fg | bg
+    if flip_probability > 0.0:
+        rng = rng or np.random.default_rng(0)
+        flip = (rng.random((h, w)) < flip_probability) & labeled
+        fg = np.where(flip, ~fg, fg)
+    unaries[fg & labeled] = 0.0
+    return unaries, labeled
+
+
+# --- ground-truth description (Def.dat) ----------------------------------
+
+
+@dataclasses.dataclass
+class FrameDescription:
+    """One labeled frame entry. Spec:
+    `trajectory_util/frame_description.py`."""
+
+    file_name: str
+    frame_index: int
+
+
+@dataclasses.dataclass
+class GroundTruthDescription:
+    """Parsed <Seq>Def.dat. Spec:
+    `trajectory_util/ground_truth_description_file.py:16-60` — we parse the
+    same sections with a tolerant line-oriented scanner instead of one
+    mega-regex."""
+
+    total_number_of_regions: int = 0
+    scale_of_regions: Optional[np.ndarray] = None
+    confusion_penalty_matrix: Optional[np.ndarray] = None
+    total_number_of_frames: int = 0
+    total_number_of_labeled_frames: int = 0
+    frame_descriptions: List[FrameDescription] = dataclasses.field(
+        default_factory=list
+    )
+
+    @classmethod
+    def from_file(cls, path: str) -> "GroundTruthDescription":
+        with open(path) as f:
+            lines = [ln.rstrip("\r\n") for ln in f]
+        out = cls()
+        i = 0
+        scales: Dict[int, int] = {}
+        mat_rows: List[List[float]] = []
+        while i < len(lines):
+            ln = lines[i].strip()
+            if ln == "Total number of regions:":
+                out.total_number_of_regions = int(lines[i + 1])
+                i += 2
+            elif ln.startswith("Scale of region"):
+                m = re.match(r"Scale of region (\d+):", ln)
+                scales[int(m.group(1))] = int(lines[i + 1])
+                i += 2
+            elif ln == "Confusion penality matrix:":
+                i += 1
+                while i < len(lines) and lines[i].strip() and not lines[
+                    i
+                ].strip()[0].isalpha():
+                    mat_rows.append(
+                        [float(x) for x in lines[i].split() if x]
+                    )
+                    i += 1
+            elif ln == "Total number of frames in this shot:":
+                out.total_number_of_frames = int(lines[i + 1])
+                i += 2
+            elif ln == "Total number of labeled frames for this shot:":
+                out.total_number_of_labeled_frames = int(lines[i + 1])
+                i += 2
+                # remaining alternating lines: file name / frame index
+                entries = [
+                    l.strip() for l in lines[i:] if l.strip()
+                ]
+                for j in range(0, len(entries) - 1, 2):
+                    out.frame_descriptions.append(
+                        FrameDescription(
+                            file_name=entries[j],
+                            frame_index=int(entries[j + 1]),
+                        )
+                    )
+                break
+            else:
+                i += 1
+        if scales:
+            out.scale_of_regions = np.asarray(
+                [scales[k] for k in sorted(scales)]
+            )
+        if mat_rows:
+            out.confusion_penalty_matrix = np.asarray(mat_rows)
+        return out
+
+
+# --- the sequence dataset ------------------------------------------------
+
+
+class FBMSSequenceDataset:
+    """One FBMS sequence: frames + trajectories + sparse GT.
+
+    Directory layout (reference defaults,
+    `fbms_sequence_dataset.py:80-132`): ``<seq>/`` with frame images,
+    ``<seq>/GroundTruth/`` PNG masks + ``<seq>Def.dat``, and
+    ``tracks/multicut/*.dat`` trajectory files.
+    """
+
+    FRAME_PATTERN = re.compile(r".*?(?P<index>\d+)\.(jpg|png|ppm|bmp)$")
+
+    def __init__(
+        self,
+        dataset_path: str,
+        ground_truth_dir: str = "GroundTruth",
+        trajectory_dir: str = "tracks/multicut",
+        trajectories_file: Optional[str] = None,
+        foreground_ids: Optional[Sequence[int]] = None,
+        flip_probability: float = 0.0,
+        noise_seed: int = 0,
+    ):
+        self.dataset_path = dataset_path
+        self.ground_truth_dir = ground_truth_dir
+        self.trajectory_dir = trajectory_dir
+        self.trajectories_file = trajectories_file
+        self.foreground_ids = foreground_ids
+        self.flip_probability = flip_probability
+        self.noise_seed = noise_seed
+        self._trajectories: Optional[List[Trajectory]] = None
+        self.frames = self._index_frames()
+        self.gt_description = self._load_gt_description()
+
+    @property
+    def sequence_name(self) -> str:
+        return os.path.basename(os.path.normpath(self.dataset_path))
+
+    def _index_frames(self) -> List[str]:
+        files = []
+        for f in sorted(os.listdir(self.dataset_path)):
+            if self.FRAME_PATTERN.match(f):
+                files.append(os.path.join(self.dataset_path, f))
+        return files
+
+    def _load_gt_description(self) -> Optional[GroundTruthDescription]:
+        p = os.path.join(
+            self.dataset_path,
+            self.ground_truth_dir,
+            self.sequence_name + "Def.dat",
+        )
+        if os.path.exists(p):
+            return GroundTruthDescription.from_file(p)
+        return None
+
+    @property
+    def trajectories(self) -> List[Trajectory]:
+        if self._trajectories is None:
+            tdir = os.path.join(self.dataset_path, self.trajectory_dir)
+            tf = self.trajectories_file or sorted(os.listdir(tdir))[0]
+            self._trajectories = parse_trajectories_file(
+                os.path.join(tdir, tf)
+            )
+        return self._trajectories
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def get_ground_truth_indices(self) -> List[int]:
+        """Frame indices with dense GT. Spec:
+        `fbms_sequence_dataset.py:518-525`."""
+        if self.gt_description is None:
+            return []
+        return [fd.frame_index for fd in self.gt_description.frame_descriptions]
+
+    def load_frame(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(Image.open(self.frames[index]), np.float64) / 255.0
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, -1)
+        return img[:, :, :3].astype(np.float32)
+
+    def load_ground_truth(self, frame_index: int) -> Optional[np.ndarray]:
+        """Dense GT mask for a labeled frame (fg = 0 convention)."""
+        if self.gt_description is None:
+            return None
+        for fd in self.gt_description.frame_descriptions:
+            if fd.frame_index == frame_index:
+                from PIL import Image
+
+                p = os.path.join(
+                    self.dataset_path, self.ground_truth_dir, fd.file_name
+                )
+                if not os.path.exists(p):
+                    return None
+                gt = np.asarray(Image.open(p))
+                if gt.ndim == 3:
+                    gt = gt[..., 0]
+                # FBMS GT: background is the dominant label value; fg = 0
+                bg_val = np.bincount(gt.reshape(-1)).argmax()
+                return (gt == bg_val).astype(np.float32)
+        return None
+
+    def sample(self, index: int) -> Dict[str, np.ndarray]:
+        """Assemble one frame: image, weak unaries + labeled mask, optional
+        GT, (x, y, t) positional channels."""
+        from awesome_tpu.data.image_sample import assemble_channels
+
+        img = self.load_frame(index)
+        h, w = img.shape[:2]
+        rng = np.random.default_rng(self.noise_seed + index)
+        unaries, labeled = weak_label_unaries(
+            self.trajectories,
+            index,
+            (h, w),
+            foreground_ids=self.foreground_ids,
+            flip_probability=self.flip_probability,
+            rng=rng,
+        )
+        t_max = max(len(self.frames) - 1, 1)
+        xy_t = assemble_channels(img, "xy", t=float(index), t_max=float(t_max))
+        return {
+            "image": img,
+            "unaries": unaries,
+            "labeled": labeled,
+            "gt": self.load_ground_truth(index),
+            "xyt": xy_t,
+            "frame_index": index,
+        }
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.sample(index)
