@@ -36,9 +36,13 @@ def main():
     from awesome_tpu.fit.prior_fit import make_fit_fn
     from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
 
-    h = w = 128
+    # Shapes chosen to keep the remote-compile path reliable on the
+    # tunneled chip (128x128 programs have been observed to wedge the
+    # remote compile service); 8 x 2000-step fits on a 64x64 grid is the
+    # validated configuration.
+    h = w = 64
     batch = 8
-    steps = 500
+    steps = 2000
 
     yy, xx = np.mgrid[0:h, 0:w]
     fg = (((yy - h / 2) ** 2 / (0.09 * h * h)
