@@ -144,3 +144,100 @@ class FBMSRunner:
             "MeanForegroundBinaryMIOU": float(np.mean(ious)) if ious else 0.0,
             "num_gt_frames": len(ious),
         }
+
+    # --- joint UNet + per-frame prior training ---------------------------
+    def train_joint(
+        self,
+        num_epochs: int = 15,
+        lr: float = 1e-4,
+        prior_lr: float = 1e-4,
+        batch_size: int = 1,
+        seed: int = 0,
+        train_segmentation: bool = True,
+    ) -> Dict:
+        """The run_fbms_unet_joint experiment: shared UNet segmenting each
+        frame (image + edge features), per-frame priors aligned via the
+        soft-clipped FBMS joint loss, both trained in one compiled step.
+
+        Spec: `config/path-connectedness/joint/UNET+...+joint.yaml`
+        (15 epochs, lr 1e-4) and `awesome/agent/torch_agent.py:183-527`
+        epoch/step loops.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.core import grids as G
+        from awesome_tpu.data.image_sample import edge_map
+        from awesome_tpu.fit.trainer import (
+            JointTrainConfig,
+            joint_train_init,
+            make_joint_train_step,
+        )
+        from awesome_tpu.nn.seg import UNet
+        from awesome_tpu.nn.wrapper import WrapperModule
+
+        t = len(self.dataset)
+        h, w = self.shape
+        images = np.stack(
+            [self.dataset.load_frame(i) for i in range(t)]
+        ).astype(np.float32)
+        feats = np.stack(
+            [edge_map(images[i])[..., None] for i in range(t)]
+        ).astype(np.float32)
+        targets = np.ones((t, h, w, 1), np.float32)
+        for i in range(t):
+            s = self.dataset.sample(i)
+            targets[i, :, :, 0] = np.where(
+                s["labeled"], s["unaries"], 1.0
+            )
+
+        # joint mode uses per-frame 2-channel (x, y) priors (the (x, y, t)
+        # shared prior is the spatio-temporal mode; reference joint configs
+        # use channels: 2)
+        from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+        c = self.config
+        joint_prior = real_nvp_path_connected_net(
+            channels=2,
+            hidden_units=c.prior_hidden_units,
+            flow_n_flows=c.prior_flows,
+            flow_output_fn="tanh",
+            spatial_shape=self.shape,
+            convex_net_hidden_units=c.convex_hidden_units,
+            convex_net_hidden_layers=c.convex_hidden_layers,
+        )
+        wrapper = WrapperModule(
+            segmentation_module=UNet(in_chn=4, out_chn=1),
+            prior_module=joint_prior,
+            input_mode="image",
+            prior_arg_mode="param_clean_grid",
+            seg_stateful=True,
+        )
+        cfg = JointTrainConfig(
+            lr=lr, prior_lr=prior_lr,
+            train_segmentation=train_segmentation,
+        )
+        state = joint_train_init(wrapper, jax.random.PRNGKey(seed), t, cfg)
+        step = jax.jit(make_joint_train_step(wrapper, cfg))
+
+        grid = G.flatten_grid(G.pixel_grid((h, w)))
+        losses = []
+        rng = np.random.default_rng(seed)
+        for epoch in range(num_epochs):
+            order = rng.permutation(t)
+            for start in range(0, t, batch_size):
+                idx = order[start:start + batch_size]
+                if len(idx) < batch_size:
+                    continue
+                batch = {
+                    "image": jnp.asarray(images[idx]),
+                    "features": jnp.asarray(feats[idx]),
+                    "grid": grid,
+                    "target": jnp.asarray(targets[idx]),
+                    "index": jnp.asarray(idx, jnp.int32),
+                }
+                state, metrics = step(state, batch)
+                losses.append(float(metrics["loss"]))
+        self.joint_state = state
+        self.joint_wrapper = wrapper
+        return {"loss": losses}

@@ -277,6 +277,82 @@ class AwesomeRunner(Runner):
             self.tracker.epoch_metric(k, v, "eval")
         return metrics
 
+    def sequential_prior_fit(
+        self,
+        num_steps: int = 2000,
+        lr: float = 1e-3,
+        gate_threshold: Optional[float] = 0.5,
+    ) -> Dict[str, Any]:
+        """The paper's "sequential fit" (post-processing): refit every
+        image's prior against the TRAINED segmentation's dense unaries on
+        the full grid — all images in one vmapped compiled program.
+
+        Spec: `awesome/model/path_connected_net.py:730-1008`
+        _prior_based_pretrain (serial there; batched here).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.core import grids as G
+        from awesome_tpu.core import tree as T
+        from awesome_tpu.fit.prior_fit import FitConfig, fit_priors_batched
+
+        h, w = self.samples[0].shape
+        pts_list, target_list, valid = [], [], []
+        for i, s in enumerate(self.samples):
+            yy, xx = np.mgrid[0:h, 0:w]
+            norm = np.stack([yy / h - 0.5, xx / w - 0.5], -1).reshape(-1, 2)
+            rgb = s.image.reshape(-1, 3)
+            px = np.concatenate([norm, rgb], -1).astype(np.float32)
+            params_i = T.tree_select(self.stacked_params, i)
+            seg = self.wrapper.apply(
+                params_i, jnp.asarray(px), evaluate_prior=False
+            )
+            unaries = np.asarray(seg).reshape(-1, 1)
+            pts_list.append(norm.astype(np.float32))
+            target_list.append((unaries >= 0.5).astype(np.float32))
+            u = np.unique(unaries >= 0.5)
+            valid.append(len(u) > 1)
+
+        prior_model = self.wrapper.prior_module
+        # warm start from the jointly-trained priors when present, else
+        # fresh per-image inits
+        prior_stack = self._prior_slice_of_stack()
+        if prior_stack is None:
+            prior_stack = jax.vmap(prior_model.init)(
+                jax.random.split(
+                    jax.random.PRNGKey(self.config.seed), len(self.samples)
+                )
+            )
+
+        cfg = FitConfig(
+            num_steps=num_steps, lr=lr, gate_threshold=gate_threshold
+        )
+        fitted, aux = fit_priors_batched(
+            prior_model,
+            prior_stack,
+            jnp.asarray(np.stack(pts_list)),
+            jnp.asarray(np.stack(target_list)),
+            cfg,
+            retry_keys=jax.random.split(
+                jax.random.PRNGKey(self.config.seed + 1), len(self.samples)
+            ),
+            valid_mask=jnp.asarray(valid),
+        )
+        # write the refit priors back into the stacked wrapper params
+        self.stacked_params = dict(self.stacked_params, prior=fitted)
+        return {
+            "gate_iou": np.asarray(aux.get("gate_iou", [])),
+            "valid": np.asarray(valid),
+        }
+
+    def _prior_slice_of_stack(self):
+        if isinstance(self.stacked_params, dict) and (
+            "prior" in self.stacked_params
+        ):
+            return self.stacked_params["prior"]
+        return None
+
     def save_results(self) -> str:
         """Persist config, tracker, and the stacked params."""
         import jax
