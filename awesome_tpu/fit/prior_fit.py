@@ -59,6 +59,11 @@ class FitConfig:
     gate_threshold: Optional[float] = None  # IoU acceptance gate
     gate_retries: int = 1
     dtype: Any = jnp.float32
+    # Opt-in mixed precision: run the model forward/backward in bf16
+    # (MXU-native, ~2x rate) while keeping master params, optimizer state
+    # and the loss in f32. Flow exp-scales stay bounded (tanh) so bf16 is
+    # safe there; expect ~1e-2 softer mask boundaries.
+    compute_dtype: Any = None  # e.g. jnp.bfloat16
 
 
 def make_point_weights(target_points: jnp.ndarray, cfg: FitConfig) -> jnp.ndarray:
@@ -119,7 +124,15 @@ def make_fit_fn(
     if loss_fn is None:
 
         def loss_fn(params, points, target, weights):
-            out = model.apply(params, points)
+            if cfg.compute_dtype is not None:
+                cparams = jax.tree_util.tree_map(
+                    lambda p: p.astype(cfg.compute_dtype), params
+                )
+                out = model.apply(
+                    cparams, points.astype(cfg.compute_dtype)
+                ).astype(jnp.float32)
+            else:
+                out = model.apply(params, points)
             prob = jax.nn.sigmoid(out) if cfg.use_sigmoid else out
             return jnp.sum(weights * (prob - target) ** 2)
 

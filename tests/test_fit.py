@@ -231,3 +231,20 @@ def test_lr_watchdog_freezes_updates():
     # tiny lr; mostly checks it runs and scale decays below threshold
     fitted, aux = fit_prior(model, params, points, target, cfg)
     assert np.isfinite(np.asarray(aux["loss_hist"])).all()
+
+
+def test_mixed_precision_fit_path():
+    """Opt-in bf16 compute: master params stay f32, fit still converges."""
+    h = w = 16
+    model = ConvexNextNet(n_hidden=16, n_hidden_layers=1)
+    params = model.init(jax.random.PRNGKey(0))
+    points = G.flatten_grid(G.pixel_grid((h, w)))
+    target = jnp.asarray(_synthetic_unaries(h, w)).reshape(-1, 1)
+    cfg = FitConfig(num_steps=80, lr=2e-3, optimizer="adam",
+                    compute_dtype=jnp.bfloat16)
+    fitted, aux = fit_prior(model, params, points, target, cfg)
+    assert np.isfinite(np.asarray(aux["loss_hist"], np.float32)).all()
+    assert float(aux["loss_hist"][-1]) < float(aux["loss_hist"][0])
+    # master weights remained f32
+    for leaf in jax.tree_util.tree_leaves(fitted):
+        assert leaf.dtype == jnp.float32
