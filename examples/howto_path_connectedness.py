@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""How-To: Path-connectedness — relax "convex" to "connected".
+
+Script equivalent of `notebooks/how_to/path-connectedness.ipynb`: a
+RealNVP diffeomorphism warps coordinate space in front of the ICNN, so
+the thresholded mask is the diffeomorphic image of a convex set — exactly
+the path-connected regions. Demonstrates the flagship prior, its prefits
+(flow-identity, circle), the IoU acceptance gate, and the analytic
+inverse (visualizing the learned deformation).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_banana(h=96, w=96):
+    """A curved (non-convex but connected) object."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    cy, cx = h * 0.62, w * 0.5
+    r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+    theta = np.arctan2(yy - cy, xx - cx)
+    band = (np.abs(r - 0.32 * h) < 0.1 * h) & (theta < -0.15)
+    img = np.full((h, w, 3), 0.15, np.float32)
+    img[band] = (0.9, 0.8, 0.2)
+    return img, band
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=2000)
+    p.add_argument("--out", type=str, default="howto_pathconn_out")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.core import grids as G
+    from awesome_tpu.fit import FitConfig, fit_prior
+    from awesome_tpu.fit.prior_fit import learn_flow_identity
+    from awesome_tpu.measures.metrics import iou
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+    from awesome_tpu.runner.functions import plot_mask
+
+    img, band = make_banana()
+    h, w = band.shape
+    unaries = (1.0 - band).astype(np.float32)  # fg = 0
+
+    model = real_nvp_path_connected_net(
+        channels=2, hidden_units=32, flow_n_flows=12,
+        flow_output_fn="tanh", spatial_shape=(h, w),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    points = G.flatten_grid(G.pixel_grid((h, w)))
+    target = jnp.asarray(unaries).reshape(-1, 1)
+
+    # prefit the flow to the identity (reference prefit_flow_net_identity)
+    params, _ = learn_flow_identity(model, params, points, max_iter=100)
+
+    cfg = FitConfig(num_steps=args.epochs, lr=1e-3, gate_threshold=0.5)
+    fitted, aux = fit_prior(model, params, points, target, cfg)
+    prob = jax.nn.sigmoid(model.apply(fitted, points))
+    score = float(iou(prob > 0.5, target > 0.5, invert=True))
+    print(f"loss {float(aux['loss_hist'][-1]):.5f}, fit IoU {score:.3f}")
+
+    mask = np.asarray(prob).reshape(h, w) < 0.5
+    os.makedirs(args.out, exist_ok=True)
+    plot_mask(img, band, variable_name="ground truth",
+              path=os.path.join(args.out, "gt.png"))
+    plot_mask(img, mask, variable_name="path-connected prior",
+              path=os.path.join(args.out, "mask.png"))
+
+    # the learned deformation is invertible — map the deformed grid back
+    xd = model.deformation(fitted, points)
+    back = model.inverse(fitted, xd)
+    err = float(jnp.abs(back - points).max())
+    print(f"deformation inverse max err: {err:.2e}")
+    print(f"wrote {args.out}/gt.png and mask.png")
+
+
+if __name__ == "__main__":
+    main()
