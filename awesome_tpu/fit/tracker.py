@@ -140,3 +140,35 @@ class Tracker:
     def load(cls, path: str) -> "Tracker":
         with open(path) as f:
             return cls.from_dict(json.load(f))
+
+
+class DataTracker:
+    """Per-epoch accumulation of raw tensors (losses, predictions, labels,
+    indices) for post-hoc analysis.
+
+    Spec: `awesome/agent/util/data_tracker.py:1` — the reference
+    accumulates device tensors per epoch; here arrays are staged host-side
+    (np.asarray forces the transfer once per append, outside compiled
+    code) and stacked on ``epoch_end``.
+    """
+
+    def __init__(self):
+        self.current: Dict[str, List[np.ndarray]] = {}
+        self.epochs: List[Dict[str, np.ndarray]] = []
+
+    def append(self, **tensors) -> None:
+        for k, v in tensors.items():
+            self.current.setdefault(k, []).append(np.asarray(v))
+
+    def epoch_end(self) -> Dict[str, np.ndarray]:
+        done = {
+            k: (np.stack(v) if v and v[0].shape == v[-1].shape
+                else np.asarray(v, dtype=object))
+            for k, v in self.current.items()
+        }
+        self.epochs.append(done)
+        self.current = {}
+        return done
+
+    def last_epoch(self) -> Optional[Dict[str, np.ndarray]]:
+        return self.epochs[-1] if self.epochs else None

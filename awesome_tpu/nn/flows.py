@@ -297,14 +297,41 @@ class RealNVPFlow(Module):
             )
         return {"steps": steps}
 
+    def _st(self, step, zm):
+        """s and t MLPs with their first layers merged into ONE matmul:
+        the fit step is latency-bound on many serial tiny matmuls (see
+        docs/design.md perf notes), so halving the op count in the flow
+        matters more than the (identical) FLOPs."""
+        w1 = jnp.concatenate([step["s"]["l1"]["w"], step["t"]["l1"]["w"]],
+                             axis=1)
+        b1 = jnp.concatenate([step["s"]["l1"]["b"], step["t"]["l1"]["b"]])
+        h = jax.nn.leaky_relu(zm @ w1 + b1, negative_slope=0.0)
+        hidden = step["s"]["l1"]["w"].shape[1]
+        hs, ht = h[:, :hidden], h[:, hidden:]
+        s = hs @ step["s"]["l2"]["w"] + step["s"]["l2"]["b"]
+        t = ht @ step["t"]["l2"]["w"] + step["t"]["l2"]["b"]
+        s = self._out_fn(s)
+        t = self._out_fn(t)
+        return s, t
+
+    def _out_fn(self, out):
+        if self.output_fn == "tanh":
+            out = jnp.tanh(out)
+        elif self.output_fn == "sigmoid":
+            out = jax.nn.sigmoid(out)
+        elif self.output_fn == "clampexp":
+            out = jnp.minimum(out, 0.0)
+        if self.output_scale is not None:
+            out = out * self.output_scale
+        return out
+
     def apply(self, params, x):
         masks = self._masks()
         z = x
         for step, mask in zip(params["steps"], masks):
             b = jnp.asarray(mask)
             zm = b * z
-            s = self._mlp(step["s"], zm)
-            t = self._mlp(step["t"], zm)
+            s, t = self._st(step, zm)
             z = zm + (1.0 - b) * (z * jnp.exp(s) + t)
             z = z * jnp.exp(step["an_s"]) + step["an_t"]
         return z

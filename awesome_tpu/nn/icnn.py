@@ -110,14 +110,18 @@ class ConvexNextNet(Module):
         return params
 
     def apply(self, params, x):
+        # each block's ln + skp matmuls merged into one ([h, x0] @ [[W_ln],
+        # [W_skp]]): same FLOPs, half the (latency-dominating) op count
         x0 = x
         h = jax.nn.relu(x @ params["input"]["w"] + params["input"]["b"])
         for blk in params["skip"]:
+            w = jnp.concatenate([blk["ln"]["w"], blk["skp"]["w"]], axis=0)
             h = jax.nn.relu(
-                h @ blk["ln"]["w"] + blk["ln"]["b"] + x0 @ blk["skp"]["w"]
+                jnp.concatenate([h, x0], axis=-1) @ w + blk["ln"]["b"]
             )
         out = params["out"]
-        return h @ out["ln"]["w"] + out["ln"]["b"] + x0 @ out["skp"]["w"]
+        w = jnp.concatenate([out["ln"]["w"], out["skp"]["w"]], axis=0)
+        return jnp.concatenate([h, x0], axis=-1) @ w + out["ln"]["b"]
 
     def enforce_convexity(self, params):
         params = dict(params)
