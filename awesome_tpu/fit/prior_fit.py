@@ -56,9 +56,19 @@ class FitConfig:
     # (`awesome/event/watchdogs/learning_rate_stop_training_watchdog.py:64`).
     lr_stop_scale: float = 0.0
     nan_guard: bool = True
+    # also verify every gradient leaf is finite before applying the update
+    # (a finite loss with Inf grads — exp overflow in an unbounded flow —
+    # would otherwise poison the scan). ~50 extra reductions per step;
+    # disable for tanh-bounded flows where loss-finiteness suffices.
+    nan_guard_grads: bool = True
     gate_threshold: Optional[float] = None  # IoU acceptance gate
     gate_retries: int = 1
     dtype: Any = jnp.float32
+    # scan unrolling amortizes the fixed per-iteration overhead that
+    # dominates this latency-bound step (measured +8% at 8 on TPU).
+    # Default 1: compile time grows with the factor (matters for CPU test
+    # runs); production fits set 4-8.
+    unroll: int = 1
     # Opt-in mixed precision: run the model forward/backward in bf16
     # (MXU-native, ~2x rate) while keeping master params, optimizer state
     # and the loss in f32. Flow exp-scales stay bounded (tanh) so bf16 is
@@ -155,19 +165,19 @@ def make_fit_fn(
             if has_clip:
                 new_params = model.enforce_convexity(new_params)
             if cfg.nan_guard:
-                # Guard on loss AND grads: a finite loss with Inf grads (exp
-                # overflow inside the flow) would otherwise poison the whole
-                # remaining scan. Reference merely raises on NaN loss
-                # (`path_connected_net.py:949`); skipping the bad step is the
-                # compiled-loop equivalent of "abort at current state".
-                grads_ok = jax.tree_util.tree_reduce(
-                    jnp.logical_and,
-                    jax.tree_util.tree_map(
-                        lambda g: jnp.all(jnp.isfinite(g)), grads
-                    ),
-                    jnp.asarray(True),
-                )
-                ok = jnp.logical_and(jnp.isfinite(loss), grads_ok)
+                # Reference merely raises on NaN loss
+                # (`path_connected_net.py:949`); skipping the bad step is
+                # the compiled-loop equivalent of "abort at current state".
+                ok = jnp.isfinite(loss)
+                if cfg.nan_guard_grads:
+                    grads_ok = jax.tree_util.tree_reduce(
+                        jnp.logical_and,
+                        jax.tree_util.tree_map(
+                            lambda g: jnp.all(jnp.isfinite(g)), grads
+                        ),
+                        jnp.asarray(True),
+                    )
+                    ok = jnp.logical_and(ok, grads_ok)
             else:
                 ok = jnp.asarray(True)
             if cfg.lr_stop_scale > 0.0:
@@ -186,7 +196,8 @@ def make_fit_fn(
             return (params, opt_state, sched), loss
 
         (params, _, sched), loss_hist = jax.lax.scan(
-            step, (params, opt_state, sched), None, length=cfg.num_steps
+            step, (params, opt_state, sched), None, length=cfg.num_steps,
+            unroll=min(cfg.unroll, cfg.num_steps),
         )
         return params, {"loss_hist": loss_hist, "lr_scale": sched.scale}
 
