@@ -157,6 +157,204 @@ def _bwd(model, residuals, g):
 icnn_forward_fused.defvjp(_fwd, _bwd)
 
 
+# --- fully fused fwd+bwd -------------------------------------------------
+#
+# At fit-relevant sizes the step is HBM-bandwidth-bound: every layer's
+# (N, H) activation and its gradient spill to HBM under XLA (measured:
+# 128x128-grid fits run at 45M point-steps/s vs 62M at 64x64 — bigger
+# grids get SLOWER per point because intermediate traffic grows).
+# This pair of kernels keeps the whole ICNN fwd AND bwd in VMEM per point
+# tile: the bwd kernel recomputes forward activations in-register
+# (rematerialization — FLOPs are free here, bandwidth is not) and emits
+# dx tiles plus weight-gradient partials accumulated across grid steps
+# (constant-index output blocks stay resident in VMEM between sequential
+# grid iterations; @pl.when(i == 0) zero-initializes them).
+
+
+def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
+    """Backward for one point tile, transposed layout (C, T).
+
+    refs: weights (same layout as fwd, biases as (H, 1)), then outputs:
+    dx_ref, then per-weight grads in the same order as the weight refs.
+    """
+    n_w = 2 + 3 * n_layers + 3
+    w_refs = refs[:n_w]
+    dx_ref = refs[n_w]
+    dw_refs = refs[n_w + 1:]
+    first = pl.program_id(0) == 0
+
+    x = x_ref[...]  # (Cin, T)
+    g = g_ref[...]  # (1, T)
+
+    # ---- recompute forward, keeping activations (all VMEM) ----
+    w_in, b_in = w_refs[0][...], w_refs[1][...]
+    pre = []
+    h = jnp.dot(w_in, x, preferred_element_type=jnp.float32) + b_in
+    pre.append(h)
+    h = jnp.maximum(h, 0.0)
+    acts = [h]
+    for i in range(n_layers):
+        w_ln = w_refs[2 + 3 * i][...]
+        b_ln = w_refs[3 + 3 * i][...]
+        w_sk = w_refs[4 + 3 * i][...]
+        z = (
+            jnp.dot(w_ln, h, preferred_element_type=jnp.float32)
+            + b_ln
+            + jnp.dot(w_sk, x, preferred_element_type=jnp.float32)
+        )
+        pre.append(z)
+        h = jnp.maximum(z, 0.0)
+        acts.append(h)
+    w_out = w_refs[2 + 3 * n_layers][...]
+    w_osk = w_refs[4 + 3 * n_layers][...]
+
+    # ---- backward ----
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+
+        ref[...] += val
+
+    # out layer: y = w_out @ h_last + b_out + w_osk @ x
+    h_last = acts[-1]
+    acc(dw_refs[2 + 3 * n_layers],
+        jnp.dot(g, h_last.T, preferred_element_type=jnp.float32))  # dW_out
+    acc(dw_refs[3 + 3 * n_layers],
+        jnp.sum(g, axis=1, keepdims=True))  # db_out
+    acc(dw_refs[4 + 3 * n_layers],
+        jnp.dot(g, x.T, preferred_element_type=jnp.float32))  # dW_osk
+    dh = jnp.dot(w_out.T, g, preferred_element_type=jnp.float32)
+    dx = jnp.dot(w_osk.T, g, preferred_element_type=jnp.float32)
+
+    for i in reversed(range(n_layers)):
+        dz = dh * (pre[i + 1] > 0.0)
+        w_ln = w_refs[2 + 3 * i][...]
+        w_sk = w_refs[4 + 3 * i][...]
+        h_prev = acts[i]
+        acc(dw_refs[2 + 3 * i],
+            jnp.dot(dz, h_prev.T, preferred_element_type=jnp.float32))
+        acc(dw_refs[3 + 3 * i], jnp.sum(dz, axis=1, keepdims=True))
+        acc(dw_refs[4 + 3 * i],
+            jnp.dot(dz, x.T, preferred_element_type=jnp.float32))
+        dh = jnp.dot(w_ln.T, dz, preferred_element_type=jnp.float32)
+        dx = dx + jnp.dot(w_sk.T, dz, preferred_element_type=jnp.float32)
+
+    dz0 = dh * (pre[0] > 0.0)
+    acc(dw_refs[0], jnp.dot(dz0, x.T, preferred_element_type=jnp.float32))
+    acc(dw_refs[1], jnp.sum(dz0, axis=1, keepdims=True))
+    dx = dx + jnp.dot(w_in.T, dz0, preferred_element_type=jnp.float32)
+    dx_ref[...] = dx
+
+
+def _bwd_fused_impl(model, params, x, g):
+    n = x.shape[0]
+    n_layers = model.n_hidden_layers
+    weights = tuple(
+        w[:, None] if w.ndim == 1 else w.T for w in _flat_weights(params)
+    )
+    pad = (-n) % TILE_N
+    x_t = jnp.pad(x, ((0, pad), (0, 0))).T
+    g_t = jnp.pad(g, ((0, pad), (0, 0))).T  # padded rows have g = 0
+    grid = (x_t.shape[1] // TILE_N,)
+
+    in_specs = [
+        pl.BlockSpec((x.shape[1], TILE_N), lambda i: (0, i)),
+        pl.BlockSpec((1, TILE_N), lambda i: (0, i)),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd)
+        for w in weights
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((x.shape[1], x_t.shape[1]), jnp.float32)
+    ] + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    out_specs = [
+        pl.BlockSpec((x.shape[1], TILE_N), lambda i: (0, i)),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd)
+        for w in weights
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_icnn_bwd_kernel, n_layers),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+    )(x_t, g_t, *weights)
+    dx = outs[0].T[:n]
+    dws = outs[1:]
+
+    # re-pack flat grads into the param tree (transpose back, biases 1-D)
+    def unflat(dws):
+        it = iter(dws)
+
+        def take(like):
+            d = next(it)
+            return d[:, 0] if like.ndim == 1 else d.T
+
+        flat = _flat_weights(params)
+        vals = [take(w) for w in flat]
+        i = iter(vals)
+        out = {
+            "input": {"w": next(i), "b": next(i)},
+            "skip": [
+                {"ln": {"w": next(i), "b": next(i)}, "skp": {"w": next(i)}}
+                for _ in range(n_layers)
+            ],
+            "out": {},
+        }
+        out["out"] = {
+            "ln": {"w": next(i), "b": next(i)},
+            "skp": {"w": next(i)},
+        }
+        return out
+
+    return unflat(dws), dx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def icnn_fused_fb(model, params, x):
+    """Fused forward with FUSED Pallas backward (dx + dW in one kernel,
+    activations rematerialized in VMEM)."""
+    return _fused_impl(model, params, x)
+
+
+def _fb_fwd(model, params, x):
+    return _fused_impl(model, params, x), (params, x)
+
+
+def _fb_bwd(model, residuals, g):
+    params, x = residuals
+    if not _HAS_PLTPU or jax.default_backend() not in ("tpu", "axon"):
+        _, vjp = jax.vjp(lambda p, xx: _reference_forward(model, p, xx),
+                         params, x)
+        return vjp(g)
+    return _bwd_fused_impl(model, params, x, g)
+
+
+icnn_fused_fb.defvjp(_fb_fwd, _fb_bwd)
+
+
+@dataclasses.dataclass(frozen=True)
+class FullyFusedConvexNextNet:
+    """ConvexNextNet with fused Pallas forward AND backward."""
+
+    base: object
+
+    def init(self, key):
+        return self.base.init(key)
+
+    def apply(self, params, x):
+        return icnn_fused_fb(self.base, params, x)
+
+    def enforce_convexity(self, params):
+        return self.base.enforce_convexity(params)
+
+    @property
+    def n_hidden_layers(self):
+        return self.base.n_hidden_layers
+
+
 @dataclasses.dataclass(frozen=True)
 class FusedConvexNextNet:
     """Drop-in ConvexNextNet wrapper routing apply through the fused
