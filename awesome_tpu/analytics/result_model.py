@@ -72,6 +72,28 @@ class ResultModel:
             return AgentCheckpoint.load(ckpt_dir, template).params
         raise FileNotFoundError(f"no params in {self.path}")
 
+    def get_runner(self):
+        """Rebuild a runnable AwesomeRunner from this finished run: config
+        -> build (dataset + models) -> restore the saved stacked params.
+
+        The reference's equivalent is ``get_agent`` -> TorchAgent.from_acc
+        (`analytics/result_model.py:571`, `agent/torch_agent.py:1090`).
+        Enables continued training / re-evaluation of an archived run.
+        """
+        from awesome_tpu.runner.runner import AwesomeRunner
+
+        cfg = self.config
+        if cfg is None:
+            raise FileNotFoundError(f"no config.yaml in {self.path}")
+        runner = AwesomeRunner(cfg)
+        runner.build()
+        runner.stacked_params = self.get_params(
+            template=runner.stacked_params
+        )
+        if self.tracker is not None:
+            runner.tracker = self.tracker
+        return runner
+
     def metric(self, name: str, mode: str = "eval",
                scope: str = "epoch") -> Optional[float]:
         t = self.tracker

@@ -54,7 +54,9 @@ def make_sample(
         theta = rng.uniform(0, np.pi)
         d = (yy - h / 2) * np.cos(theta) + (xx - w / 2) * np.sin(theta)
         offset = rng.uniform(-0.15, 0.15) * min(h, w)
-        stripe = (np.abs(d - offset) < 0.08 * min(h, w)) & obj
+        # thin occluder (~leaf over tomato): hides 10-20% of the object so
+        # the full-GT IoU cap stays realistic
+        stripe = (np.abs(d - offset) < 0.04 * min(h, w)) & obj
         image[stripe] = rng.uniform(0.0, 0.25, size=(3,)).astype(np.float32)
         visible = obj & ~stripe
 

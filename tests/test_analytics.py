@@ -65,3 +65,20 @@ def test_corrupt_validates():
         corrupt(x, "nope")
     with pytest.raises(ValueError):
         corrupt(x, "gaussian_noise", severity=9)
+
+
+def test_result_model_get_runner_resumes(tmp_path):
+    """A saved run reloads into a runnable runner with identical eval."""
+    out = _run(tmp_path, "resume_me", 40)
+    r = ResultModel.from_path(out)
+    runner = r.get_runner()
+    m = runner.evaluate()
+    # identical params -> identical metrics as the recorded final eval
+    np.testing.assert_allclose(
+        m["MeanForegroundBinaryMIOU"],
+        r.metric("MeanForegroundBinaryMIOU"),
+        atol=1e-6,
+    )
+    # and training can continue from the restored state
+    res = runner.train()
+    assert np.isfinite(res["loss_hist"]).all()
