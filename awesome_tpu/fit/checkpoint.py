@@ -137,3 +137,42 @@ def save_prior_cache(stacked_params: Any, path: str) -> None:
 
 def load_prior_cache(path: str, template: Optional[Any] = None) -> Any:
     return load_pytree(path, template)
+
+
+def emergency_save(
+    directory: str,
+    params: Any = None,
+    batch: Any = None,
+    error: Optional[BaseException] = None,
+    extra: Optional[Dict] = None,
+) -> str:
+    """Dump everything available about a failing step for post-mortem.
+
+    Spec: `awesome/agent/torch_agent.py:1063` ``emergency_save`` (the
+    reference torch.saves model+batch on an unexpected training error;
+    the occurred error is recorded with the end-of-training checkpoint,
+    `torch_agent.py:762-790`).
+    """
+    import traceback
+
+    os.makedirs(directory, exist_ok=True)
+    if params is not None:
+        try:
+            save_pytree(params, os.path.join(directory, "params"))
+        except Exception:
+            pass
+    if batch is not None:
+        try:
+            save_pytree(batch, os.path.join(directory, "batch"))
+        except Exception:
+            pass
+    meta = {"extra": extra or {}}
+    if error is not None:
+        meta["error"] = repr(error)
+        meta["traceback"] = "".join(
+            traceback.format_exception(type(error), error,
+                                       error.__traceback__)
+        )
+    with open(os.path.join(directory, "emergency.json"), "w") as f:
+        json.dump(meta, f, default=str)
+    return directory

@@ -1,0 +1,67 @@
+"""NoisyPathConnectedNet — the spatio-temporal prior under label noise.
+
+Behavior port of `awesome/model/noisy_path_connected_net.py:35` (a
+PathConnectedNet whose ``_non_prior_based_pretrain`` override tolerates
+probabilistically flipped weak labels). In the functional stack, noise
+injection lives in the data layer (``FBMSSequenceDataset.flip_probability``)
+and the fit in ``fit.spatiotemporal``; this class bundles the pieces into
+the reference's single-object API: a 3-channel (x, y, t) path-connected
+prior plus a ``pretrain_noisy`` driver with robust weighting.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+from awesome_tpu.nn.path_connected import (
+    PathConnectedNet,
+    real_nvp_path_connected_net,
+)
+
+
+def noisy_path_connected_net(
+    spatial_shape: Tuple[int, int],
+    hidden_units: int = 32,
+    flow_n_flows: int = 12,
+    convex_net_hidden_units: int = 130,
+    convex_net_hidden_layers: int = 2,
+) -> PathConnectedNet:
+    """The (x, y, t) flagship variant used by the noisy experiments."""
+    return real_nvp_path_connected_net(
+        channels=3,
+        hidden_units=hidden_units,
+        flow_n_flows=flow_n_flows,
+        flow_output_fn="tanh",
+        spatial_shape=spatial_shape,
+        convex_net_hidden_units=convex_net_hidden_units,
+        convex_net_hidden_layers=convex_net_hidden_layers,
+    )
+
+
+def pretrain_noisy(
+    model: PathConnectedNet,
+    params: Any,
+    frame_points,
+    frame_targets,
+    labeled_masks,
+    num_epochs: int = 2000,
+    lr: float = 1e-3,
+    weight_mode: str = "none",
+    **fit_kwargs,
+):
+    """Shared spatio-temporal fit against (possibly noise-flipped) weak
+    labels. The temporal smoothness of the (x, y, t) representation is
+    itself the noise regularizer (isolated flipped points cannot bend the
+    connected space-time tube) — matching the reference's finding that
+    IoU degrades gracefully up to ~20-30% flip rates (BASELINE.md)."""
+    from awesome_tpu.fit.prior_fit import FitConfig
+    from awesome_tpu.fit.spatiotemporal import fit_spatiotemporal_prior
+
+    cfg = FitConfig(num_steps=num_epochs, lr=lr, weight_mode=weight_mode,
+                    **fit_kwargs)
+    return fit_spatiotemporal_prior(
+        model, params, frame_points, frame_targets, labeled_masks, cfg,
+        num_epochs=num_epochs,
+    )

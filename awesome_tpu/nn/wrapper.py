@@ -19,6 +19,7 @@ Two input modes (spec `abstract_combined_segmentation_module.py:23`):
 from __future__ import annotations
 
 import dataclasses
+import enum
 from typing import Any, Optional, Tuple
 
 import jax
@@ -26,6 +27,32 @@ import jax.numpy as jnp
 
 from awesome_tpu.core import grids as G
 from awesome_tpu.nn.module import Module
+
+
+class PriorMode(enum.Enum):
+    """What the per-image 'prior state' covers.
+
+    Spec: `awesome/model/abstract_combined_segmentation_module.py:13`:
+    FULL = the whole wrapper (per-image seg+prior, 'single' training
+    mode), PARTIAL = only the prior module, NONE = no per-image state.
+    In the stacked-params design this decides which subtree gets the
+    leading image axis.
+    """
+
+    FULL = "full"
+    PARTIAL = "partial"
+    NONE = "none"
+
+
+class InputMode(enum.Enum):
+    PIXEL = "pixel"
+    IMAGE = "image"
+
+
+class EvaluationMode(enum.Enum):
+    BOTH = "both"
+    SEGMENTATION = "segmentation"
+    PRIOR = "prior"
 
 
 @dataclasses.dataclass(frozen=True)
