@@ -136,7 +136,20 @@ TYPE_TRANSLATION = {
     "awesome.measures.unaries_weighted_loss.UnariesWeightedLoss":
         "unaries_weighted_loss",
     "torch.optim.Adam": "adam",
+    "torch.optim.adam.Adam": "adam",
     "torch.optim.Adamax": "adamax",
+    "torch.optim.adamax.Adamax": "adamax",
+    "torch.nn.modules.loss.BCELoss": "bce",
+    "awesome.measures.se.SE": "se",
+    "awesome.measures.gradient_penalty_loss.GradientPenaltyLoss":
+        "gradient_penalty",
+    "awesome.dataset.sisbosi_dataset.SISBOSIDataset":
+        "awesome_tpu.data.sisbosi.SISBOSIDataset",
+    "awesome.dataset.sisbosi_dataset.ConvexityDataset":
+        "awesome_tpu.data.convexity.ConvexityDataset",
+    "awesome.dataset.fbms_sequence_dataset.FBMSSequenceDataset":
+        "awesome_tpu.data.fbms.FBMSSequenceDataset",
+    "awesome.measures.miou.MIOU": "miou",
     "awesome.dataset.convexity_segmentation_dataset.ConvexitySegmentationDataset":
         "awesome_tpu.data.convexity.ConvexityDataset",
     "awesome.dataset.awesome_dataset.AwesomeDataset":

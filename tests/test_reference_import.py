@@ -1,0 +1,55 @@
+"""Import ACTUAL reference YAML configs (read-only from /root/reference).
+
+The strongest parity check available offline: the original experiment
+files load, translate, and produce runnable configs."""
+import glob
+import os
+
+import pytest
+
+from awesome_tpu.runner.reference_import import load_reference_config
+
+REF = "/root/reference/config"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference configs not mounted"
+)
+
+
+def test_import_convexity_sequential_config():
+    path = os.path.join(REF, "convexity/sequential/CNNET_benchmark+xy+convex.yaml")
+    cfg, extra = load_reference_config(path)
+    assert cfg.device == "tpu"
+    assert cfg.dtype == "float32"
+    assert cfg.num_epochs > 0
+    # dataset/loss types translated to awesome_tpu (or left as strings)
+    assert "torch" not in (cfg.optimizer_type or "")
+    assert isinstance(extra, dict)
+
+
+def test_import_fbms_joint_flagship_config():
+    path = os.path.join(
+        REF, "path-connectedness/joint/UNET+cars3+edge+diffeo+original+joint.yaml"
+    )
+    cfg, extra = load_reference_config(path)
+    assert cfg.prior_model_type == (
+        "awesome_tpu.nn.path_connected.real_nvp_path_connected_net"
+    )
+    assert cfg.prior_model_args["flow_output_fn"] == "tanh"
+    assert cfg.prior_model_args["flow_n_flows"] == 12
+    assert cfg.num_epochs == 15
+    assert cfg.scribble_percentage == 0.8
+
+
+def test_import_every_reference_config_parses():
+    """Every YAML in the reference config tree loads without raising."""
+    paths = glob.glob(os.path.join(REF, "**/*.yaml"), recursive=True)
+    assert len(paths) > 10
+    failures = []
+    for p in paths:
+        try:
+            cfg, extra = load_reference_config(p)
+            assert cfg.timestamp is not None
+        except Exception as e:  # noqa: BLE001
+            failures.append((os.path.relpath(p, REF), repr(e)))
+    assert not failures, failures[:5]
