@@ -44,22 +44,27 @@ class MultiPriorModule(Module):
     stack_outputs: bool = True
 
     def init(self, key):
+        """Param tree holds ONLY the stacked children. The active count is
+        a structural constant tracked by the caller (static config or a
+        runtime arg), never a param leaf — see CLAUDE.md invariants."""
         keys = jax.random.split(key, self.max_priors)
         children = jax.vmap(self.child.init)(keys)
-        return {"children": children, "count": jnp.asarray(self.max_priors)}
+        return {"children": children}
 
-    def init_with_count(self, key, count: int):
-        params = self.init(key)
-        return dict(params, count=jnp.asarray(count))
+    def active_mask(self, count) -> jnp.ndarray:
+        """(max_priors,) bool mask of active child slots."""
+        return jnp.arange(self.max_priors) < count
 
-    def assure_prior_count(self, params: Params, count: int,
+    def assure_prior_count(self, params: Params, prev_count: int, count: int,
                            key: Optional[jax.Array] = None) -> Params:
-        """Grow (reinit new slots) or shrink (mask) to ``count`` children."""
+        """Grow to ``count`` children by re-initializing slots in
+        [prev_count, count); shrinking is just the caller lowering its
+        count (slots beyond it are ignored by ``combine``)."""
         if count > self.max_priors:
             raise ValueError(
                 f"count {count} exceeds static capacity {self.max_priors}"
             )
-        prev = int(params["count"])
+        prev = int(prev_count)
         children = params["children"]
         if count > prev:
             key = key if key is not None else jax.random.PRNGKey(count)
@@ -77,15 +82,16 @@ class MultiPriorModule(Module):
                 fresh,
                 children,
             )
-        return {"children": children, "count": jnp.asarray(count)}
+        return {"children": children}
 
     def apply(self, params, x, num_priors: Optional[int] = None):
-        """Evaluate the first ``num_priors`` (default: stored count)
-        children on points x (N, C) -> (N, K_active) via masking.
+        """Evaluate children on points x (N, C) -> (N, K). With a static
+        ``num_priors`` the output is sliced to the first K children;
+        otherwise all ``max_priors`` channels are returned unmasked (pass
+        a count to ``combine``/``active_mask`` to ignore inactive slots).
 
         Spec: `number_based_multi_prior_module.py:51` forward(num_priors).
         """
-        k = num_priors if num_priors is not None else self.max_priors
 
         def one(child_params):
             return self.child.apply(child_params, x)
@@ -94,14 +100,17 @@ class MultiPriorModule(Module):
         outs = jnp.moveaxis(outs[..., 0], 0, -1)  # (N, max)
         if num_priors is not None and num_priors < self.max_priors:
             outs = outs[..., :num_priors]
-        else:
-            active = jnp.arange(self.max_priors) < params["count"]
-            outs = jnp.where(active[None, :], outs, jnp.inf)
         return outs
 
-    def combine(self, outs: jnp.ndarray) -> jnp.ndarray:
+    def combine(self, outs: jnp.ndarray, count=None) -> jnp.ndarray:
         """Fuse per-object fields into one: min over objects (union of
-        sub-level sets — fg encoded as low values)."""
+        sub-level sets — fg encoded as low values). ``count`` (static or
+        traced) restricts the min to active slots; the masking stays
+        internal so no non-finite sentinel can leak to consumers."""
+        if count is not None:
+            active = self.active_mask(count)[None, :]
+            big = jnp.finfo(outs.dtype).max
+            outs = jnp.where(active, outs, big)
         return outs.min(axis=-1, keepdims=True)
 
     def enforce_convexity(self, params):
@@ -116,10 +125,7 @@ class MultiPriorModule(Module):
                 T.tree_select(params["children"], 0)
             )
             groups = jax.tree_util.tree_map(lambda s: s, one)
-            return {
-                "children": groups,
-                "count": "other",
-            }
+            return {"children": groups}
         return jax.tree_util.tree_map(lambda _: "other", params)
 
 

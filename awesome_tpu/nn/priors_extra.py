@@ -104,7 +104,9 @@ class RotationSymmetricNet(Module):
 @dataclasses.dataclass(frozen=True)
 class PeriodicNet(Module):
     """Periodicity prior: sin features of an affine coordinate map make the
-    represented mask repeat. f(x) = W2(sin(10*pi*W1(x + offset)))."""
+    represented mask repeat. f(x) = W2(sin(10*pi*W1(W0(x + offset)))) with
+    W0 a learnable 2x2 affine pre-map (initialized at identity) that lets
+    the period lattice rotate/stretch during the fit."""
 
     n_hidden: int = 130
 
@@ -112,12 +114,16 @@ class PeriodicNet(Module):
         k = jax.random.split(key, 3)
         return {
             "offset": jnp.zeros((1, 2), jnp.float32),
-            "W0": Linear(2, 2).init(k[0]),
+            "W0": {
+                "w": jnp.eye(2, dtype=jnp.float32),
+                "b": jnp.zeros((2,), jnp.float32),
+            },
             "W1": Linear(2, self.n_hidden).init(k[1]),
             "W2": Linear(self.n_hidden, 1).init(k[2]),
         }
 
     def apply(self, params, x):
         x = x + jax.lax.stop_gradient(params["offset"])
+        x = x @ params["W0"]["w"] + params["W0"]["b"]
         h = 10.0 * jnp.pi * (x @ params["W1"]["w"] + params["W1"]["b"])
         return jnp.sin(h) @ params["W2"]["w"] + params["W2"]["b"]

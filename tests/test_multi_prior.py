@@ -21,7 +21,7 @@ from awesome_tpu.nn.priors_extra import (
 
 def test_multi_prior_counts_and_apply():
     mp = MultiPriorModule(child=ConvexNextNet(n_hidden=8), max_priors=4)
-    params = mp.init_with_count(jax.random.PRNGKey(0), 2)
+    params = mp.init(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (32, 2))
     out = mp.apply(params, x, num_priors=2)
     assert out.shape == (32, 2)
@@ -31,11 +31,31 @@ def test_multi_prior_counts_and_apply():
                                atol=1e-6)
 
 
+def test_multi_prior_tree_is_gradable():
+    """count is NOT a param leaf: value_and_grad over the whole tree works
+    and every leaf is float (optimizer-safe) — CLAUDE.md invariant."""
+    mp = MultiPriorModule(child=ConvexNextNet(n_hidden=8), max_priors=3)
+    params = mp.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 2))
+
+    def loss(p):
+        return jnp.mean(mp.combine(mp.apply(p, x), count=2) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert jnp.issubdtype(leaf.dtype, jnp.floating)
+        assert np.isfinite(np.asarray(leaf)).all()
+    # inactive slot (index 2) receives zero gradient through combine
+    g2 = jax.tree_util.tree_leaves(T.tree_select(grads["children"], 2))
+    assert all(np.allclose(np.asarray(g), 0.0) for g in g2)
+
+
 def test_assure_prior_count_grow_reinits_new_slots():
     mp = MultiPriorModule(child=ConvexNextNet(n_hidden=8), max_priors=4)
-    params = mp.init_with_count(jax.random.PRNGKey(0), 2)
+    params = mp.init(jax.random.PRNGKey(0))
     before2 = T.tree_select(params["children"], 2)
-    grown = mp.assure_prior_count(params, 4, key=jax.random.PRNGKey(9))
+    grown = mp.assure_prior_count(params, 2, 4, key=jax.random.PRNGKey(9))
     after2 = T.tree_select(grown["children"], 2)
     # slot 2 was re-initialized
     changed = any(
@@ -51,7 +71,7 @@ def test_assure_prior_count_grow_reinits_new_slots():
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError):
-        mp.assure_prior_count(params, 9)
+        mp.assure_prior_count(params, 2, 9)
 
 
 def test_multi_prior_combine_union():
@@ -59,6 +79,10 @@ def test_multi_prior_combine_union():
     outs = jnp.asarray([[1.0, -2.0], [-3.0, 5.0]])
     combined = mp.combine(outs)
     np.testing.assert_allclose(np.asarray(combined[:, 0]), [-2.0, -3.0])
+    # with an active count, inactive slots are ignored (and stay finite)
+    combined1 = mp.combine(outs, count=1)
+    np.testing.assert_allclose(np.asarray(combined1[:, 0]), [1.0, -3.0])
+    assert np.isfinite(np.asarray(combined1)).all()
 
 
 def test_multi_object_path_connected():
