@@ -110,18 +110,34 @@ def make_joint_train_step(
 
     if loss_fn is None:
 
-        def loss_fn(output, target):
+        def loss_fn(output, target, weight=None):
             # output (B,H,W,2): [seg, prior] channels; fbms_joint_loss wants
             # channel-first halves -> transpose to (B, 2, H, W)
             out_cf = jnp.moveaxis(output, -1, 1)
             tgt_cf = jnp.moveaxis(target, -1, 1)
-            return fbms_joint_loss(
-                out_cf,
-                tgt_cf,
-                alpha=cfg.alpha,
-                beta=cfg.beta,
-                clip_penalty=cfg.clip_penalty,
-            )
+            if weight is None:
+                return fbms_joint_loss(
+                    out_cf,
+                    tgt_cf,
+                    alpha=cfg.alpha,
+                    beta=cfg.beta,
+                    clip_penalty=cfg.clip_penalty,
+                )
+            # Padded batches (tail of an epoch scan): per-sample losses,
+            # weight-0 entries contribute nothing (pad-to-bucket + mask,
+            # CLAUDE.md invariant). Class weights (sssdms) become
+            # per-sample, matching the reference's batch-of-1 semantics.
+            per = jax.vmap(
+                lambda o, t: fbms_joint_loss(
+                    o[None],
+                    t[None],
+                    alpha=cfg.alpha,
+                    beta=cfg.beta,
+                    clip_penalty=cfg.clip_penalty,
+                )
+            )(out_cf, tgt_cf)
+            wsum = jnp.maximum(weight.sum(), 1.0)
+            return {k: (v * weight).sum() / wsum for k, v in per.items()}
 
     def forward(seg_params, prior_batch, seg_state, batch):
         image, feats, grid = batch["image"], batch["features"], batch["grid"]
@@ -157,11 +173,16 @@ def make_joint_train_step(
             lambda x: x[idx] if x.ndim > 0 else x, state.prior_opt
         )
 
+        weight = batch.get("weight")
+
         def compute_loss(seg_params, prior_batch):
             out, new_seg_state = forward(
                 seg_params, prior_batch, state.seg_state, batch
             )
-            res = loss_fn(out, batch["target"])
+            if weight is not None:
+                res = loss_fn(out, batch["target"], weight)
+            else:
+                res = loss_fn(out, batch["target"])
             if isinstance(res, dict):
                 return res["loss"], (res, new_seg_state)
             return res, ({"loss": res}, new_seg_state)
@@ -203,6 +224,21 @@ def make_joint_train_step(
         new_prior_batch, new_prior_opt_batch = jax.vmap(upd_one)(
             prior_batch, prior_g, prior_opt_batch
         )
+        if weight is not None:
+            # weight-0 (padded) samples: keep their gathered value so the
+            # scatter below is a no-op for them (no spurious moment decay).
+            live = weight > 0
+
+            def keep_live(new, old):
+                mask = live.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            new_prior_batch = jax.tree_util.tree_map(
+                keep_live, new_prior_batch, prior_batch
+            )
+            new_prior_opt_batch = jax.tree_util.tree_map(
+                keep_live, new_prior_opt_batch, prior_opt_batch
+            )
         new_prior_batch = T.tree_where(ok, new_prior_batch, prior_batch)
         new_prior_opt_batch = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
@@ -228,3 +264,65 @@ def make_joint_train_step(
         return new_state, metrics
 
     return step
+
+
+def epoch_batches(num_images: int, batch_size: int, rng) -> Tuple[Any, Any]:
+    """Permuted, bucket-padded batch plan for one epoch.
+
+    Returns ``(idx_mat, wgt_mat)`` of shape (num_batches, batch_size): a
+    random permutation of all image indices, with the tail batch padded by
+    wrapping around to the front of the permutation at weight 0 (so no
+    batch contains duplicate indices as long as batch_size <= num_images,
+    keeping the prior scatter write-once). The reference silently DROPS
+    the tail batch each epoch (mirrored previously here); padding trains
+    on every image every epoch instead.
+    """
+    import numpy as np
+
+    if batch_size > num_images:
+        raise ValueError("batch_size must be <= num_images")
+    perm = rng.permutation(num_images)
+    n_batches = -(-num_images // batch_size)
+    pad = n_batches * batch_size - num_images
+    idx = np.concatenate([perm, perm[:pad]]).reshape(n_batches, batch_size)
+    wgt = np.ones(n_batches * batch_size, np.float32)
+    if pad:
+        wgt[-pad:] = 0.0
+    return idx.astype(np.int32), wgt.reshape(n_batches, batch_size)
+
+
+def make_joint_epoch_fn(
+    wrapper,
+    cfg: JointTrainConfig,
+    loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build ``epoch(state, data, idx_mat, wgt_mat) -> (state, metrics)``:
+    a whole training epoch as ONE compiled program — ``lax.scan`` of the
+    joint step over the permuted batch plan, gathering each mini-batch from
+    the device-resident dataset. Replaces the reference's Python epoch loop
+    with per-batch host syncs (`awesome/agent/torch_agent.py:277-527`);
+    metrics come back stacked, one host transfer per epoch.
+
+    ``data``: dict with 'image' (T,H,W,C), 'features' (T,H,W,F), 'target'
+    (T,H,W,1), 'grid' (N,2) shared (or (T,N,2) per-frame).
+    """
+    step = make_joint_train_step(wrapper, cfg, loss_fn)
+
+    def epoch(state, data, idx_mat, wgt_mat):
+        per_frame_grid = data["grid"].ndim == 3
+
+        def body(st, xs):
+            idx, wgt = xs
+            batch = {
+                "image": data["image"][idx],
+                "features": data["features"][idx],
+                "grid": data["grid"][idx] if per_frame_grid else data["grid"],
+                "target": data["target"][idx],
+                "index": idx,
+                "weight": wgt,
+            }
+            return step(st, batch)
+
+        return jax.lax.scan(body, state, (idx_mat, wgt_mat))
+
+    return epoch

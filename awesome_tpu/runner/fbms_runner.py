@@ -47,6 +47,54 @@ class FBMSRunner:
         self.dataset = dataset
         self.model = None
         self.params = None
+        self.awesome_config = None
+
+    @classmethod
+    def from_awesome_config(cls, cfg, dataset=None, dataset_path=None):
+        """Build from an imported reference YAML (`runner.reference_import`)
+        — e.g. `config/path-connectedness/joint/UNET+cars3+...+joint.yaml`:
+        prior factory args from ``prior_model_args``, optimizer lr, epochs,
+        batch size and flip settings from the nested dataset args."""
+        pargs = dict(cfg.prior_model_args or {})
+        ds = (cfg.dataset_args or {}).get("dataset") or {}
+        c = FBMSExperimentConfig(
+            dataset_path=dataset_path or ds.get("dataset_path", ""),
+            flip_probability=0.0,
+            num_epochs=cfg.num_epochs,
+            lr=float(cfg.optimizer_args.get("lr", 1e-4)),
+            prior_hidden_units=int(pargs.get("hidden_units", 32)),
+            prior_flows=int(pargs.get("flow_n_flows", 12)),
+            convex_hidden_units=int(pargs.get("convex_net_hidden_units", 130)),
+            convex_hidden_layers=int(
+                pargs.get("convex_net_hidden_layers", 2)
+            ),
+            seed=cfg.seed,
+        )
+        runner = cls(c, dataset=dataset)
+        runner.awesome_config = cfg
+        return runner
+
+    def train_joint_from_config(self, num_epochs=None, batch_size=None):
+        """Run the joint experiment with the imported reference settings
+        (epochs / lr / batch size / seg training mode / loss alpha+beta)."""
+        cfg = self.awesome_config
+        if cfg is None:
+            raise ValueError("built without from_awesome_config")
+        ds = (cfg.dataset_args or {}).get("dataset") or {}
+        bs = batch_size or int(ds.get("training_batch_size", 1))
+        return self.train_joint(
+            num_epochs=num_epochs or cfg.num_epochs,
+            lr=float(cfg.optimizer_args.get("lr", 1e-4)),
+            prior_lr=float(cfg.optimizer_args.get("lr", 1e-4)),
+            batch_size=min(bs, len(self.dataset)),
+            seed=cfg.seed,
+            train_segmentation=(cfg.segmentation_training_mode != "none"),
+            alpha=float(cfg.loss_args.get("alpha", 1.0)),
+            beta=float(cfg.loss_args.get("beta", 1.0)),
+            use_segmentation_output_inversion=(
+                cfg.use_segmentation_output_inversion
+            ),
+        )
 
     def build(self):
         import jax
@@ -154,10 +202,18 @@ class FBMSRunner:
         batch_size: int = 1,
         seed: int = 0,
         train_segmentation: bool = True,
+        alpha: float = 1.0,
+        beta: float = 1.0,
+        use_segmentation_output_inversion: bool = False,
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
         soft-clipped FBMS joint loss, both trained in one compiled step.
+
+        Each epoch is ONE compiled ``lax.scan`` over the permuted batch
+        plan (tail batch bucket-padded at weight 0, so every image trains
+        every epoch); metrics transfer to the host once per epoch — not
+        per step as the reference does (`awesome/agent/torch_agent.py:501`).
 
         Spec: `config/path-connectedness/joint/UNET+...+joint.yaml`
         (15 epochs, lr 1e-4) and `awesome/agent/torch_agent.py:183-527`
@@ -170,8 +226,9 @@ class FBMSRunner:
         from awesome_tpu.data.image_sample import edge_map
         from awesome_tpu.fit.trainer import (
             JointTrainConfig,
+            epoch_batches,
             joint_train_init,
-            make_joint_train_step,
+            make_joint_epoch_fn,
         )
         from awesome_tpu.nn.seg import UNet
         from awesome_tpu.nn.wrapper import WrapperModule
@@ -212,32 +269,39 @@ class FBMSRunner:
             input_mode="image",
             prior_arg_mode="param_clean_grid",
             seg_stateful=True,
+            use_segmentation_output_inversion=(
+                use_segmentation_output_inversion
+            ),
         )
         cfg = JointTrainConfig(
             lr=lr, prior_lr=prior_lr,
+            alpha=alpha, beta=beta,
             train_segmentation=train_segmentation,
         )
         state = joint_train_init(wrapper, jax.random.PRNGKey(seed), t, cfg)
-        step = jax.jit(make_joint_train_step(wrapper, cfg))
+        epoch_fn = jax.jit(make_joint_epoch_fn(wrapper, cfg))
 
-        grid = G.flatten_grid(G.pixel_grid((h, w)))
-        losses = []
+        data = {
+            "image": jnp.asarray(images),
+            "features": jnp.asarray(feats),
+            "grid": G.flatten_grid(G.pixel_grid((h, w))),
+            "target": jnp.asarray(targets),
+        }
         rng = np.random.default_rng(seed)
-        for epoch in range(num_epochs):
-            order = rng.permutation(t)
-            for start in range(0, t, batch_size):
-                idx = order[start:start + batch_size]
-                if len(idx) < batch_size:
-                    continue
-                batch = {
-                    "image": jnp.asarray(images[idx]),
-                    "features": jnp.asarray(feats[idx]),
-                    "grid": grid,
-                    "target": jnp.asarray(targets[idx]),
-                    "index": jnp.asarray(idx, jnp.int32),
-                }
-                state, metrics = step(state, batch)
-                losses.append(float(metrics["loss"]))
-        self.joint_state = state
+        bs = min(batch_size, t)
+        epoch_metrics = []
+        for _ in range(num_epochs):
+            idx_mat, wgt_mat = epoch_batches(t, bs, rng)
+            state, metrics = epoch_fn(
+                state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat)
+            )
+            epoch_metrics.append(metrics)  # device arrays; no sync here
+        self.joint_state = jax.block_until_ready(state)
         self.joint_wrapper = wrapper
+        # single host transfer for the whole history
+        losses = [
+            float(v)
+            for m in epoch_metrics
+            for v in np.asarray(m["loss"]).ravel()
+        ]
         return {"loss": losses}

@@ -8,7 +8,9 @@ from awesome_tpu.core import grids as G
 from awesome_tpu.core import tree as T
 from awesome_tpu.fit.trainer import (
     JointTrainConfig,
+    epoch_batches,
     joint_train_init,
+    make_joint_epoch_fn,
     make_joint_train_step,
 )
 from awesome_tpu.nn.icnn import ConvexNextNet
@@ -100,3 +102,99 @@ def test_joint_step_loss_decreases_over_steps():
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_joint_step_weight_zero_is_noop_for_that_sample():
+    """Padded (weight-0) samples must not touch their prior slice, its
+    optimizer moments, or the loss."""
+    wrapper, cfg, state, batch = _make()
+    step = jax.jit(make_joint_train_step(wrapper, cfg))
+    # duplicate the live sample into the padded slot so UNet batchnorm
+    # statistics match the solo forward exactly (stats over [x, x] == [x])
+    batch = dict(
+        batch,
+        image=jnp.concatenate([batch["image"][:1]] * 2),
+        features=jnp.concatenate([batch["features"][:1]] * 2),
+        target=jnp.concatenate([batch["target"][:1]] * 2),
+    )
+    wbatch = dict(batch, weight=jnp.asarray([1.0, 0.0]))
+    new_state, metrics = step(state, wbatch)
+    # weight-0 sample (index 3): prior params + moments bit-identical
+    for tree_new, tree_old in (
+        (new_state.prior_params, state.prior_params),
+        (new_state.prior_opt, state.prior_opt),
+    ):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(T.tree_select(tree_new, 3)),
+            jax.tree_util.tree_leaves(T.tree_select(tree_old, 3)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # weight-1 sample (index 1) still trains
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(T.tree_select(new_state.prior_params, 1)),
+            jax.tree_util.tree_leaves(T.tree_select(state.prior_params, 1)),
+        )
+    )
+    assert changed
+    # loss equals the solo loss of the weight-1 sample
+    solo = {
+        "image": batch["image"][:1],
+        "features": batch["features"][:1],
+        "grid": batch["grid"],  # shared (N, 2) grid: not per-sample
+        "target": batch["target"][:1],
+        "index": batch["index"][:1],
+    }
+    _, solo_metrics = step(state, solo)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(solo_metrics["loss"]), rtol=1e-5
+    )
+
+
+def test_epoch_batches_plan():
+    rng = np.random.default_rng(0)
+    idx, wgt = epoch_batches(5, 2, rng)
+    assert idx.shape == (3, 2) and wgt.shape == (3, 2)
+    # every image exactly once at weight 1
+    live = idx[wgt > 0]
+    assert sorted(live.tolist()) == [0, 1, 2, 3, 4]
+    # no duplicate index within any batch (write-once scatter)
+    for row in idx:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_joint_epoch_scan_trains_all_images():
+    wrapper, cfg, state, _ = _make(num_images=5)
+    h = w = 16
+    t = 5
+    key = jax.random.PRNGKey(7)
+    data = {
+        "image": jax.random.uniform(key, (t, h, w, 3)),
+        "features": jax.random.uniform(key, (t, h, w, 1)),
+        "grid": G.flatten_grid(G.pixel_grid((h, w))),
+        "target": (
+            jax.random.uniform(key, (t, h, w, 1)) > 0.5
+        ).astype(jnp.float32),
+    }
+    epoch_fn = jax.jit(make_joint_epoch_fn(wrapper, cfg))
+    rng = np.random.default_rng(0)
+    idx_mat, wgt_mat = epoch_batches(t, 2, rng)
+    new_state, metrics = epoch_fn(
+        state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat)
+    )
+    assert metrics["loss"].shape == (3,)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    # every image's prior trained exactly once this epoch
+    for i in range(t):
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(
+                    T.tree_select(new_state.prior_params, i)
+                ),
+                jax.tree_util.tree_leaves(T.tree_select(state.prior_params, i)),
+            )
+        )
+        assert changed, f"prior {i} did not train"
+    assert int(new_state.step) == 3
