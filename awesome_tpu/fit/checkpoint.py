@@ -52,6 +52,12 @@ def save_pytree(tree: Any, path: str) -> None:
         pickle.dump(treedef, f)
 
 
+def pytree_exists(path: str) -> bool:
+    """True iff ``save_pytree(path)`` artifacts exist (Orbax directory or
+    the .npz fallback)."""
+    return os.path.isdir(path) or os.path.exists(path + ".npz")
+
+
 def load_pytree(path: str, template: Optional[Any] = None) -> Any:
     import jax
     import jax.numpy as jnp

@@ -20,7 +20,7 @@ compiled program, no re-trace).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,25 @@ class PixelTrainConfig:
     use_plateau: bool = False
     lr_stop_scale: float = 0.0
     nan_guard: bool = True
+    # segmentation_training_mode 'none' (`awesome/run/awesome_runner.py:448`
+    # exclude_segmentation_model): the seg subtree is excluded from updates.
+    train_segmentation: bool = True
+
+
+class PixelTrainState(NamedTuple):
+    """Resumable per-image train state (stack for the vmapped engine).
+
+    Training in SEGMENTS (each one compiled scan over ``segment_len``
+    epochs) lets the runner fire the reference's between-epoch handles —
+    eval cadence, best-model checks, image dumps, checkpoints
+    (`awesome/run/awesome_runner.py:294-475`) — without a per-epoch host
+    loop: one host visit per cadence tick, not per epoch.
+    """
+
+    params: Params
+    opt_state: Any
+    sched: Any
+    epoch: jnp.ndarray  # absolute epoch counter (int32 scalar per image)
 
 
 def masked_awesome_loss(
@@ -85,27 +104,192 @@ def masked_awesome_loss(
     return jnp.where(extra_penalty, with_pen, base)
 
 
-def make_pixel_train_fn(wrapper, cfg: PixelTrainConfig):
-    """Build ``train(params, px, gt, scribble_mask, random_mask) ->
-    (params, aux)`` for ONE image; vmap for the stacked version."""
-    init_fn, update_fn = {
+def _make_pixel_step(wrapper, cfg: PixelTrainConfig, loss_impl=None):
+    """One training epoch for one image: (state-tuple, epoch) -> state."""
+    _, update_fn = _pixel_optim(cfg)
+    if loss_impl is None:
+
+        def loss_impl(params, px, gt, smask, rmask, extra_penalty):
+            out = wrapper.apply(params, px)
+            return masked_awesome_loss(
+                out, gt, smask, rmask, cfg.alpha, extra_penalty
+            )
+
+    vg = jax.value_and_grad(loss_impl)
+    has_clip = hasattr(wrapper, "enforce_convexity")
+
+    def step(carry, epoch, px, gt, smask, rmask):
+        params, opt_state, sched = carry
+        extra = (
+            epoch >= cfg.extra_penalty_after
+            if cfg.extra_penalty_after is not None
+            else jnp.asarray(False)
+        )
+        loss, grads = vg(params, px, gt, smask, rmask, extra)
+        lr = cfg.lr * (sched.scale if cfg.use_plateau else 1.0)
+        if cfg.extra_penalty_after is not None:
+            lr = jnp.where(extra, lr * cfg.extra_penalty_lr_factor, lr)
+        new_params, new_opt = update_fn(params, grads, opt_state, lr)
+        if has_clip:
+            new_params = wrapper.enforce_convexity(new_params)
+        if not cfg.train_segmentation and isinstance(new_params, dict) and (
+            "seg" in new_params
+        ):
+            # segmentation_training_mode 'none': seg subtree excluded from
+            # optimization (`awesome/run/awesome_runner.py:448-457`).
+            new_params = dict(new_params, seg=params["seg"])
+        ok = jnp.isfinite(loss) if cfg.nan_guard else jnp.asarray(True)
+        if cfg.use_plateau and cfg.lr_stop_scale > 0.0:
+            ok = jnp.logical_and(ok, sched.scale > cfg.lr_stop_scale)
+        params = T.tree_where(ok, new_params, params)
+        opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+        )
+        if cfg.use_plateau:
+            sched = optim.plateau_update(
+                sched, loss, factor=cfg.plateau_factor,
+                patience=cfg.plateau_patience,
+            )
+        return (params, opt_state, sched), loss
+
+    return step
+
+
+def _pixel_optim(cfg: PixelTrainConfig):
+    return {
         "adam": (optim.adam_init, optim.adam_update),
         "adamax": (optim.adamax_init, optim.adamax_update),
     }[cfg.optimizer]
 
-    def loss_fn(params, px, gt, smask, rmask, extra_penalty):
-        out = wrapper.apply(params, px)
-        return masked_awesome_loss(
-            out, gt, smask, rmask, cfg.alpha, extra_penalty
-        )
 
-    vg = jax.value_and_grad(loss_fn)
-    has_clip = hasattr(wrapper, "enforce_convexity")
+def pixel_train_init(
+    wrapper, stacked_params: Params, cfg: PixelTrainConfig
+) -> PixelTrainState:
+    """Initial stacked train state for the vmapped segment engine."""
+    init_fn, _ = _pixel_optim(cfg)
+    batch = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    opt_state = jax.vmap(init_fn)(stacked_params)
+    sched = jax.vmap(lambda _: optim.plateau_init())(jnp.arange(batch))
+    return PixelTrainState(
+        params=stacked_params,
+        opt_state=opt_state,
+        sched=sched,
+        epoch=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def make_pixel_segment_fn(
+    wrapper, cfg: PixelTrainConfig, segment_len: int, loss_impl=None
+):
+    """Build ``segment(state, px, gt, smask, rmask) -> (state, aux)``:
+    ``segment_len`` epochs for ALL images in one compiled program (vmap of
+    a per-image ``lax.scan``), resumable across calls (absolute epoch,
+    optimizer moments and plateau state live in the carry)."""
+    step = _make_pixel_step(wrapper, cfg, loss_impl)
+
+    def one(state: PixelTrainState, px, gt, smask, rmask):
+        def body(carry, e):
+            return step(carry, e, px, gt, smask, rmask)
+
+        (params, opt_state, sched), loss_hist = jax.lax.scan(
+            body,
+            (state.params, state.opt_state, state.sched),
+            state.epoch + jnp.arange(segment_len),
+        )
+        new_state = PixelTrainState(
+            params, opt_state, sched, state.epoch + segment_len
+        )
+        return new_state, {"loss_hist": loss_hist, "lr_scale": sched.scale}
+
+    return jax.jit(jax.vmap(one))
+
+
+def make_pixel_train_fn(wrapper, cfg: PixelTrainConfig):
+    """Build ``train(params, px, gt, scribble_mask, random_mask) ->
+    (params, aux)`` for ONE image; vmap for the stacked version."""
+    init_fn, _ = _pixel_optim(cfg)
+    step = _make_pixel_step(wrapper, cfg)
 
     def train(params, px, gt, smask, rmask):
         opt_state = init_fn(params)
         sched = optim.plateau_init()
 
+        def body(carry, epoch):
+            return step(carry, epoch, px, gt, smask, rmask)
+
+        (params, _, sched), loss_hist = jax.lax.scan(
+            body,
+            (params, opt_state, sched),
+            jnp.arange(cfg.num_epochs),
+        )
+        return params, {"loss_hist": loss_hist, "lr_scale": sched.scale}
+
+    return train
+
+
+def shared_pixel_train_init(
+    wrapper,
+    key,
+    num_images: int,
+    cfg: PixelTrainConfig,
+) -> PixelTrainState:
+    """State for segmentation_training_mode='multi': ONE shared seg net +
+    stacked per-image priors (`awesome/run/awesome_config.py:98-106`)."""
+    k_seg, k_prior = jax.random.split(key)
+    seg_params = wrapper.segmentation_module.init(k_seg)
+    params = {"seg": seg_params}
+    if wrapper.prior_module is not None:
+        prior_keys = jax.random.split(k_prior, num_images)
+        params["prior"] = jax.vmap(wrapper.prior_module.init)(prior_keys)
+    init_fn, _ = _pixel_optim(cfg)
+    return PixelTrainState(
+        params=params,
+        opt_state=init_fn(params),
+        sched=optim.plateau_init(),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_shared_pixel_segment_fn(
+    wrapper, cfg: PixelTrainConfig, segment_len: int
+):
+    """Segment engine for the shared-seg ('multi') mode: the seg net sees
+    every image each epoch (mean loss over images -> averaged grads, the
+    full-batch analogue of the reference's per-image steps), priors stay
+    per-image. One compiled program per segment."""
+    _, update_fn = _pixel_optim(cfg)
+    has_clip = wrapper.prior_module is not None and hasattr(
+        wrapper.prior_module, "enforce_convexity"
+    )
+
+    def loss_all(params, px, gt, smask, rmask, extra):
+        has_prior = "prior" in params
+
+        def per_image(prior_p, px_i, gt_i, sm_i, rm_i):
+            p = {"seg": params["seg"]}
+            if has_prior:
+                p["prior"] = prior_p
+            out = wrapper.apply(p, px_i)
+            if not has_prior:
+                sw = sm_i.astype(out.dtype)[:, None]
+                raw = bce(out[:, 0:1], gt_i, reduction="none")
+                return (raw * sw).sum() / jnp.maximum(sw.sum(), 1.0)
+            return masked_awesome_loss(
+                out, gt_i, sm_i, rm_i, cfg.alpha, extra
+            )
+
+        prior_stack = params.get("prior")
+        if has_prior:
+            losses = jax.vmap(per_image)(prior_stack, px, gt, smask, rmask)
+        else:
+            losses = jax.vmap(
+                lambda *a: per_image(None, *a)
+            )(px, gt, smask, rmask)
+        return losses.mean()
+
+    vg = jax.value_and_grad(loss_all)
+
+    def segment(state: PixelTrainState, px, gt, smask, rmask):
         def step(carry, epoch):
             params, opt_state, sched = carry
             extra = (
@@ -116,12 +300,17 @@ def make_pixel_train_fn(wrapper, cfg: PixelTrainConfig):
             loss, grads = vg(params, px, gt, smask, rmask, extra)
             lr = cfg.lr * (sched.scale if cfg.use_plateau else 1.0)
             if cfg.extra_penalty_after is not None:
-                lr = jnp.where(
-                    extra, lr * cfg.extra_penalty_lr_factor, lr
-                )
+                lr = jnp.where(extra, lr * cfg.extra_penalty_lr_factor, lr)
             new_params, new_opt = update_fn(params, grads, opt_state, lr)
             if has_clip:
-                new_params = wrapper.enforce_convexity(new_params)
+                new_params = dict(
+                    new_params,
+                    prior=jax.vmap(wrapper.prior_module.enforce_convexity)(
+                        new_params["prior"]
+                    ),
+                )
+            if not cfg.train_segmentation:
+                new_params = dict(new_params, seg=params["seg"])
             ok = jnp.isfinite(loss) if cfg.nan_guard else jnp.asarray(True)
             if cfg.use_plateau and cfg.lr_stop_scale > 0.0:
                 ok = jnp.logical_and(ok, sched.scale > cfg.lr_stop_scale)
@@ -136,14 +325,17 @@ def make_pixel_train_fn(wrapper, cfg: PixelTrainConfig):
                 )
             return (params, opt_state, sched), loss
 
-        (params, _, sched), loss_hist = jax.lax.scan(
+        (params, opt_state, sched), loss_hist = jax.lax.scan(
             step,
-            (params, opt_state, sched),
-            jnp.arange(cfg.num_epochs),
+            (state.params, state.opt_state, state.sched),
+            state.epoch + jnp.arange(segment_len),
         )
-        return params, {"loss_hist": loss_hist, "lr_scale": sched.scale}
+        new_state = PixelTrainState(
+            params, opt_state, sched, state.epoch + segment_len
+        )
+        return new_state, {"loss_hist": loss_hist, "lr_scale": sched.scale}
 
-    return train
+    return jax.jit(segment)
 
 
 def train_pixel_models(

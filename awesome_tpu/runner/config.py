@@ -132,6 +132,12 @@ TYPE_TRANSLATION = {
     "awesome.model.wrapper_module.WrapperModule":
         "awesome_tpu.nn.wrapper.WrapperModule",
     "awesome.measures.awesome_loss.AwesomeLoss": "awesome_loss",
+    "awesome.measures.awesome_image_loss.AwesomeImageLoss": "awesome_loss",
+    "awesome.measures.awesome_image_loss_joint.AwesomeImageLossJoint":
+        "awesome_loss_joint",
+    "awesome.measures.awesome_loss_joint.AwesomeLossJoint":
+        "awesome_loss_joint",
+    "awesome.measures.weighted_loss.WeightedLoss": "weighted_loss",
     "awesome.measures.fbms_joint_loss.FBMSJointLoss": "fbms_joint_loss",
     "awesome.measures.unaries_weighted_loss.UnariesWeightedLoss":
         "unaries_weighted_loss",
@@ -236,6 +242,10 @@ class AwesomeConfig(Config):
     save_images_after_pretraining: bool = False
     plot_indices_during_training: Optional[List[int]] = None
     plot_indices_during_training_nth_epoch: Optional[int] = 100
+    # final-save handle (`awesome/run/awesome_runner.py:343-347`):
+    # -1 = dump every image after training
+    plot_final_indices: Optional[Any] = None
+    include_unaries_when_saving: bool = False
 
     # runtime
     device: str = "tpu"

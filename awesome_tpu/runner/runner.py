@@ -62,7 +62,24 @@ class Runner:
 
 
 class AwesomeRunner(Runner):
-    """End-to-end pixel-pipeline runner."""
+    """End-to-end pixel-pipeline runner.
+
+    Wires the reference composition root's event attachments
+    (`awesome/run/awesome_runner.py:294-475`) as explicit cadence handles
+    around a SEGMENTED compiled training loop: eval-metric cadence
+    (``compute_metrics_during_training_nth_epoch``), validation cadence +
+    best-model checkpointing (``validation_each_nth_epoch``,
+    `agent/util/tracker.py:533`), CRF'd eval metrics
+    (``compute_crf_with_metrics`` / ``compute_crf_after_training``,
+    `run/handles.py:376-459`), periodic image dumps
+    (``plot_indices_during_training*``, `awesome_runner.py:304-333`),
+    nth-epoch checkpoint saves (`awesome_runner.py:404-416`), pretrain
+    orchestration with state load/save (``do_pretraining`` /
+    ``pretrain_state_path``, `agent/torch_agent.py:553-607`) and the LR
+    watchdog early stop.
+    """
+
+    CHECKPOINT_NTH_EPOCH = 20  # `awesome_runner.py:409` get_only_nth_epoch(20)
 
     def __init__(self, config: AwesomeConfig):
         super().__init__(config)
@@ -70,6 +87,9 @@ class AwesomeRunner(Runner):
         self.wrapper = None
         self.stacked_params = None
         self.tracker = None
+        self.best_params = None
+        self.train_indices = None
+        self.val_indices = None
         self.handles: Dict[str, List[Callable]] = {
             "epoch_processed": [],
             "training_finished": [],
@@ -77,24 +97,93 @@ class AwesomeRunner(Runner):
         self._batch = None
 
     # --- build -----------------------------------------------------------
+    @staticmethod
+    def _dataset_paths_exist(args: Dict[str, Any]) -> bool:
+        """True iff every *_dir / *_path string in (nested) dataset args
+        points at an existing location. Missing data (zero-egress hosts)
+        falls back to the synthetic replica instead of crashing."""
+        found = [True]
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if (
+                        isinstance(v, str)
+                        and (k.endswith("_dir") or k.endswith("_path")
+                             or k == "dataset_path")
+                    ):
+                        found.append(os.path.exists(v))
+                    else:
+                        walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        walk(args)
+        return all(found)
+
+    def _synthetic_fallback(self, args: Dict[str, Any]):
+        from awesome_tpu.data.synthetic import synthetic_convexity_dataset
+
+        inner = args.get("dataset") or {}
+        n = args.get("n") or inner.get("dataset_len") or 8
+        return synthetic_convexity_dataset(
+            n=int(min(n, 16)),
+            h=args.get("h", 64),
+            w=args.get("w", 64),
+        )
+
     def build_dataset(self):
         cfg = self.config
+        args = dict(cfg.dataset_args)
+        self.image_mode = args.get("dimension") == "3d"
         if cfg.dataset_type is None:
-            from awesome_tpu.data.synthetic import synthetic_convexity_dataset
-
-            args = dict(cfg.dataset_args)
-            self.samples = synthetic_convexity_dataset(
-                n=args.get("n", 8),
-                h=args.get("h", 64),
-                w=args.get("w", 64),
+            self.samples = self._synthetic_fallback(args)
+        elif not self._dataset_paths_exist(args):
+            logger.warning(
+                "dataset paths in %s missing on this host; using the "
+                "synthetic convexity replica", cfg.dataset_type,
             )
+            self.samples = self._synthetic_fallback(args)
         else:
             ds_cls = dynamic_import(cfg.dataset_type)
-            self.dataset = ds_cls(**cfg.dataset_args)
+            known = {"dataset_path", "scribble_percentage", "subset", "seed",
+                     "samples", "augmentation"}
+            ds_args = {k: v for k, v in args.items() if k in known}
+            inner = args.get("dataset")
+            if isinstance(inner, dict) and "img_dir" in inner:
+                # reference nests the directory dataset inside the wrapper
+                ds_args.setdefault(
+                    "dataset_path", os.path.dirname(inner["img_dir"])
+                )
+            self.dataset = ds_cls(**ds_args)
             self.samples = [
                 self.dataset.load(i) for i in range(len(self.dataset))
             ]
         return self.samples
+
+    @staticmethod
+    def _seg_args(seg_cls, args: Dict[str, Any]) -> Dict[str, Any]:
+        """Map reference seg-model args onto the TPU models: 'input' ->
+        in_type with derived channel count (`awesome/model/cnn_net.py:18-28`
+        rgb|xy|rgbxy concat)."""
+        out = dict(args)
+        in_type = out.pop("input", None)
+        if in_type is not None:
+            out["in_type"] = in_type
+        name = getattr(seg_cls, "__name__", "")
+        if name in ("CNNNet", "FCNet") and "in_chn" not in out:
+            chn = {"rgb": 3, "xy": 2, "rgbxy": 5}.get(
+                out.get("in_type", "rgbxy"), 5
+            )
+            out.setdefault("in_chn", chn)
+            out.setdefault("out_chn", 1)
+        import dataclasses as _dc
+
+        if _dc.is_dataclass(seg_cls):
+            valid = {f.name for f in _dc.fields(seg_cls)}
+            out = {k: v for k, v in out.items() if k in valid}
+        return out
 
     def build_models(self):
         from awesome_tpu.nn.seg import Net
@@ -104,7 +193,7 @@ class AwesomeRunner(Runner):
         cfg = self.config
         if cfg.segmentation_model_type:
             seg_cls = dynamic_import(cfg.segmentation_model_type)
-            seg = seg_cls(**cfg.segmentation_model_args)
+            seg = seg_cls(**self._seg_args(seg_cls, cfg.segmentation_model_args))
         else:
             seg = Net(**(cfg.segmentation_model_args or {}))
 
@@ -120,10 +209,14 @@ class AwesomeRunner(Runner):
             else:
                 prior = ConvexNextNet(**(cfg.prior_model_args or {}))
 
+        image_mode = getattr(self, "image_mode", False)
         self.wrapper = WrapperModule(
             segmentation_module=seg,
             prior_module=prior,
-            input_mode="pixel",
+            input_mode="image" if image_mode else "pixel",
+            prior_arg_mode=(
+                "param_clean_grid" if image_mode else "xy_c_preattached"
+            ),
             use_segmentation_output_inversion=(
                 cfg.use_segmentation_output_inversion
             ),
@@ -137,58 +230,257 @@ class AwesomeRunner(Runner):
         from awesome_tpu.data.batching import stack_padded
 
         self.build_dataset()
+        shapes = {s.shape for s in self.samples}
+        self._shape = self.samples[0].shape
+        if getattr(self, "image_mode", False) and len(shapes) > 1:
+            raise ValueError(
+                "image mode needs uniform image shapes (pad upstream); "
+                f"got {sorted(shapes)}"
+            )
         self.build_models()
 
-        # per-image pixel tensors, bucket-padded
-        px_list, gt_list, scr_counts = [], [], []
-        for s in self.samples:
-            px, gt = s.pixels(self.config.scribble_percentage,
-                              seed=self.config.seed)
-            n_scr = s.important_pixels()[0].shape[0]
-            gt_full = np.zeros((px.shape[0], 1), np.float32)
-            gt_full[: gt.shape[0]] = gt
-            px_list.append(px)
-            gt_list.append(gt_full)
-            scr_counts.append(n_scr)
-        px, valid = stack_padded(px_list)
-        gt, _ = stack_padded(gt_list)
-        n = px.shape[1]
-        scr_mask = np.zeros_like(valid)
-        rnd_mask = np.zeros_like(valid)
-        for i, c in enumerate(scr_counts):
-            scr_mask[i, :c] = True
-            rnd_mask[i] = valid[i] & ~scr_mask[i]
-        self._batch = {
-            "px": px,
-            "gt": gt,
-            "scr_mask": scr_mask,
-            "rnd_mask": rnd_mask,
-            "valid": valid,
-        }
+        if self.image_mode:
+            # dense full-grid tensors: the conv seg net sees whole images;
+            # the loss is masked to scribbles, the extra penalty to the
+            # unlabeled rest (AwesomeImageLoss semantics,
+            # `awesome/measures/awesome_image_loss.py:9-52`)
+            px = self._eval_pixels()  # (B, N=h*w, 5), uniform shapes
+            b, n = px.shape[:2]
+            gt = np.ones((b, n, 1), np.float32)
+            scr_mask = np.zeros((b, n), bool)
+            valid = np.ones((b, n), bool)
+            for i, s in enumerate(self.samples):
+                fg = s.fg_mask.reshape(-1)
+                bg = s.bg_mask.reshape(-1)
+                gt[i, fg, 0] = 0.0  # fg encoded as 0
+                gt[i, bg, 0] = 1.0
+                scr_mask[i] = fg | bg
+            rnd_mask = valid & ~scr_mask
+            self._batch = {
+                "px": px,
+                "gt": gt,
+                "scr_mask": scr_mask,
+                "rnd_mask": rnd_mask,
+                "valid": valid,
+            }
+        else:
+            # per-image pixel tensors, bucket-padded
+            px_list, gt_list, scr_counts = [], [], []
+            for s in self.samples:
+                px, gt = s.pixels(self.config.scribble_percentage,
+                                  seed=self.config.seed)
+                n_scr = s.important_pixels()[0].shape[0]
+                gt_full = np.zeros((px.shape[0], 1), np.float32)
+                gt_full[: gt.shape[0]] = gt
+                px_list.append(px)
+                gt_list.append(gt_full)
+                scr_counts.append(n_scr)
+            px, valid = stack_padded(px_list)
+            gt, _ = stack_padded(gt_list)
+            n = px.shape[1]
+            scr_mask = np.zeros_like(valid)
+            rnd_mask = np.zeros_like(valid)
+            for i, c in enumerate(scr_counts):
+                scr_mask[i, :c] = True
+                rnd_mask[i] = valid[i] & ~scr_mask[i]
+            self._batch = {
+                "px": px,
+                "gt": gt,
+                "scr_mask": scr_mask,
+                "rnd_mask": rnd_mask,
+                "valid": valid,
+            }
 
         # stacked per-image wrapper params ('single' training mode: the
-        # whole wrapper is the per-image prior, PriorMode.FULL)
-        keys = jax.random.split(
-            jax.random.PRNGKey(self.config.seed), len(self.samples)
+        # whole wrapper is the per-image prior, PriorMode.FULL). 'multi'
+        # shares ONE seg net (stacked priors only); state built lazily in
+        # train(). 'none' trains priors only (seg frozen).
+        mode = self.config.segmentation_training_mode
+        if mode == "multi":
+            self.stacked_params = None  # built with the train state
+        else:
+            keys = jax.random.split(
+                jax.random.PRNGKey(self.config.seed), len(self.samples)
+            )
+            self.stacked_params = jax.vmap(self.wrapper.init)(keys)
+
+        # train/val split over images (`awesome/dataset/separable_dataset.py`)
+        from awesome_tpu.data.split import split_indices
+
+        split_ratio = float(self.config.dataset_args.get("split_ratio", 1.0))
+        self.train_indices, self.val_indices = split_indices(
+            len(self.samples), split_ratio, seed=self.config.seed
         )
-        self.stacked_params = jax.vmap(self.wrapper.init)(keys)
 
         from awesome_tpu.fit.tracker import Tracker
 
-        self.tracker = Tracker(primary_metric="Loss", primary_mode="train")
-
-    # --- train -----------------------------------------------------------
-    def train(self) -> Dict[str, Any]:
-        import jax.numpy as jnp
-
-        from awesome_tpu.fit.pixel_trainer import (
-            PixelTrainConfig,
-            train_pixel_models,
+        self.tracker = Tracker(
+            primary_metric="Loss",
+            primary_mode="val" if self.val_indices else "train",
         )
 
+    # --- forward dispatch ---------------------------------------------------
+    def _forward_one(self, params, px, evaluate_prior: bool = True):
+        """Per-image forward on a pixel matrix (N, 5)=(y,x,r,g,b) -> (N, C).
+
+        Pixel mode delegates to the wrapper; image mode ('3d' dimension,
+        conv seg nets) reshapes to NHWC for the seg net and queries the
+        prior on the clean xy grid (`awesome/model/wrapper_module.py:157-228`
+        per-image loop, `prior_arg_mode='param_clean_grid'`).
+        """
+        import jax.numpy as jnp
+
+        if not getattr(self, "image_mode", False):
+            return self.wrapper.apply(params, px, evaluate_prior=evaluate_prior)
+        h, w = self._shape
+        img = px[:, 2:5].reshape(1, h, w, 3)
+        grid_img = px[:, 0:2].reshape(1, h, w, 2)
+        seg = self.wrapper.segmentation_module.apply(
+            params["seg"], img, grid_img
+        )
+        seg = self.wrapper.process_segmentation_output(seg).reshape(-1, 1)
+        if self.wrapper.prior_module is None or not evaluate_prior:
+            return seg
+        prior = self.wrapper.prior_module.apply(params["prior"], px[:, 0:2])
+        prior = self.wrapper.process_prior_output(prior).reshape(-1, 1)
+        return jnp.concatenate([seg, prior], axis=-1)
+
+    def _gp_weights(self):
+        """Gradient-penalty weights from the configured loss criterion
+        (`awesome/measures/gradient_penalty_loss.py:11`); zeros when the
+        config doesn't use GradientPenaltyLoss."""
+        crit = self.config.loss_args.get("criterion")
+        if isinstance(crit, dict) and crit.get("__class__") == (
+            "gradient_penalty"
+        ):
+            return (
+                float(crit.get("xygrad", 0.0) or 0.0),
+                float(crit.get("rgbgrad", 0.0) or 0.0),
+            )
+        return 0.0, 0.0
+
+    def _make_loss_impl(self):
+        """Custom per-image loss when image mode or gradient penalty is
+        configured; None -> the pixel engine's default masked AwesomeLoss."""
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.fit.pixel_trainer import masked_awesome_loss
+        from awesome_tpu.measures.losses import bce
+
+        xyw, rgbw = self._gp_weights()
+        image_mode = getattr(self, "image_mode", False)
+        if not image_mode and not (xyw or rgbw):
+            return None
+        alpha = self.config.loss_args.get("alpha", 1.0)
+        has_prior = self.wrapper.prior_module is not None
+
+        def loss_impl(params, px, gt, smask, rmask, extra_penalty):
+            out = self._forward_one(params, px)
+            if has_prior:
+                loss = masked_awesome_loss(
+                    out, gt, smask, rmask, alpha, extra_penalty
+                )
+            else:
+                sw = smask.astype(out.dtype)[:, None]
+                raw = bce(out[:, 0:1], gt, reduction="none")
+                loss = (raw * sw).sum() / jnp.maximum(sw.sum(), 1.0)
+            if xyw or rgbw:
+                # d(seg)/d(input-channel-groups); px layout (y,x,r,g,b)
+                g = jax.grad(
+                    lambda p: self._forward_one(params, p)[:, 0:1].sum()
+                )(px)
+                if xyw:
+                    loss = loss + xyw * jnp.mean(g[:, 0:2] ** 2)
+                if rgbw:
+                    loss = loss + rgbw * jnp.mean(g[:, 2:5] ** 2)
+            return loss
+
+        return loss_impl
+
+    # --- pretrain ----------------------------------------------------------
+    def pretrain(self) -> Optional[Dict[str, Any]]:
+        """Pretrain orchestration: load a pretrain state when
+        ``pretrain_state_path`` exists, else run the batched prior fit and
+        save the state. Spec: `awesome/agent/torch_agent.py:553-607`.
+        """
+        import jax
+        import jax.numpy as jnp
+
         cfg = self.config
-        tcfg = PixelTrainConfig(
-            num_epochs=cfg.num_epochs,
+        if not cfg.do_pretraining:
+            return None
+        if self.wrapper.prior_module is None or self.stacked_params is None:
+            return None
+        from awesome_tpu.fit.checkpoint import (
+            load_prior_cache,
+            pytree_exists,
+            save_prior_cache,
+        )
+
+        state_path = cfg.pretrain_state_path or os.path.join(
+            self.output_folder, "pretrain_state"
+        )
+        if pytree_exists(state_path):
+            prior_stack = load_prior_cache(
+                state_path, template=self.stacked_params["prior"]
+            )
+            self.stacked_params = dict(self.stacked_params, prior=prior_stack)
+            logger.info("Pretrain state loaded from %s", state_path)
+            return {"loaded": True, "path": state_path}
+
+        from awesome_tpu.fit.prior_fit import FitConfig, fit_priors_batched
+
+        b = self._batch
+        px = jnp.asarray(b["px"])
+        # unaries = current (untrained) segmentation output, thresholded —
+        # `path_connected_net.py:832-855` (skip single-valued images)
+        seg = jax.vmap(
+            lambda p, x: self._forward_one(p, x, evaluate_prior=False)
+        )(self.stacked_params, px)
+        unaries = (np.asarray(seg) >= 0.5).astype(np.float32)
+        valid = np.array(
+            [len(np.unique(u)) > 1 for u in unaries[..., 0]], dtype=bool
+        )
+        pargs = dict(cfg.pretrain_args)
+        fit_cfg = FitConfig(
+            num_steps=int(pargs.get("num_epochs", 2000)),
+            lr=float(pargs.get("lr", 1e-3)),
+            gate_threshold=0.5,
+            gate_retries=int(pargs.get("proper_prior_fit_retrys", 1)),
+        )
+        points = px[..., 0:2]
+        fitted, aux = fit_priors_batched(
+            self.wrapper.prior_module,
+            self.stacked_params["prior"],
+            points,
+            jnp.asarray(unaries),
+            fit_cfg,
+            retry_keys=jax.random.split(
+                jax.random.PRNGKey(cfg.seed + 7), len(self.samples)
+            ),
+            valid_mask=jnp.asarray(valid),
+        )
+        self.stacked_params = dict(self.stacked_params, prior=fitted)
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        save_prior_cache(fitted, state_path)
+        logger.info("Pretrain state saved to %s", state_path)
+        if cfg.save_images_after_pretraining:
+            self._dump_images(epoch=0, folder="prior",
+                              indices=range(len(self.samples)))
+        return {
+            "loaded": False,
+            "path": state_path,
+            "gate_iou": np.asarray(aux.get("gate_iou", [])),
+        }
+
+    # --- train -----------------------------------------------------------
+    def _train_cfg(self, num_epochs: int):
+        from awesome_tpu.fit.pixel_trainer import PixelTrainConfig
+
+        cfg = self.config
+        return PixelTrainConfig(
+            num_epochs=num_epochs,
             lr=cfg.optimizer_args.get("lr", 1e-3),
             optimizer=cfg.optimizer_type
             if cfg.optimizer_type in ("adam", "adamax")
@@ -211,59 +503,309 @@ class AwesomeRunner(Runner):
                 and cfg.use_lr_on_plateau_scheduler
                 else 0.0
             ),
+            train_segmentation=(cfg.segmentation_training_mode != "none"),
         )
-        b = self._batch
-        fitted, aux = train_pixel_models(
-            self.wrapper,
-            self.stacked_params,
-            jnp.asarray(b["px"]),
-            jnp.asarray(b["gt"]),
-            jnp.asarray(b["scr_mask"]),
-            jnp.asarray(b["rnd_mask"]),
-            tcfg,
-        )
-        self.stacked_params = fitted
-        loss_hist = np.asarray(aux["loss_hist"])  # (B, E)
-        for e in range(loss_hist.shape[1]):
-            self.tracker.epoch_metric("Loss", loss_hist[:, e].mean(), "train")
-            self.tracker.tick_epoch()
-        for fn in self.handles["training_finished"]:
-            fn(self)
-        return {"loss_hist": loss_hist}
 
-    # --- eval ------------------------------------------------------------
-    def evaluate(self) -> Dict[str, float]:
-        """Full-dataset eval: per-image seg/prior IoU + pixel accuracy on
-        the dense grid vs GT. Spec: `awesome/run/handles.py:339-477`
-        get_compute_eval_metrics."""
+    def _cadences(self) -> List[int]:
+        cfg = self.config
+        out = [self.CHECKPOINT_NTH_EPOCH]
+        if cfg.compute_metrics_during_training_nth_epoch:
+            out.append(cfg.compute_metrics_during_training_nth_epoch)
+        if (
+            cfg.plot_indices_during_training
+            and cfg.plot_indices_during_training_nth_epoch
+        ):
+            out.append(cfg.plot_indices_during_training_nth_epoch)
+        if cfg.validation_each_nth_epoch:
+            out.append(cfg.validation_each_nth_epoch)
+        return out
+
+    def train(self) -> Dict[str, Any]:
+        import math
+
         import jax
         import jax.numpy as jnp
 
-        from awesome_tpu.core import grids as G
         from awesome_tpu.core import tree as T
-        from awesome_tpu.measures.metrics import iou, pixel_accuracy
+        from awesome_tpu.fit.pixel_trainer import (
+            make_pixel_segment_fn,
+            make_shared_pixel_segment_fn,
+            pixel_train_init,
+            shared_pixel_train_init,
+        )
 
-        seg_ious, prior_ious, accs = [], [], []
-        for i, s in enumerate(self.samples):
+        cfg = self.config
+        shared_mode = cfg.segmentation_training_mode == "multi"
+        num_epochs = cfg.num_epochs
+        seg_len = math.gcd(num_epochs, math.gcd(*(self._cadences() + [0])))
+        seg_len = max(1, min(seg_len or num_epochs, num_epochs))
+        tcfg = self._train_cfg(seg_len)
+
+        b = self._batch
+        px = jnp.asarray(b["px"])
+        gt = jnp.asarray(b["gt"])
+        smask = jnp.asarray(b["scr_mask"])
+        rmask = jnp.asarray(b["rnd_mask"])
+
+        if shared_mode:
+            state = shared_pixel_train_init(
+                self.wrapper,
+                jax.random.PRNGKey(cfg.seed),
+                len(self.samples),
+                tcfg,
+            )
+            self.stacked_params = state.params  # {'seg': shared, 'prior': B}
+            segment = make_shared_pixel_segment_fn(self.wrapper, tcfg, seg_len)
+        else:
+            state = pixel_train_init(self.wrapper, self.stacked_params, tcfg)
+            segment = make_pixel_segment_fn(
+                self.wrapper, tcfg, seg_len, loss_impl=self._make_loss_impl()
+            )
+
+        # training_starts handles: initial eval metrics (+ CRF if configured)
+        if cfg.compute_metrics_during_training_nth_epoch:
+            self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
+        self._maybe_dump_images(epoch=0)
+
+        loss_chunks = []
+        stopped_early = False
+        for seg_i in range(num_epochs // seg_len):
+            state, aux = segment(state, px, gt, smask, rmask)
+            self.stacked_params = state.params
+            epoch = (seg_i + 1) * seg_len
+            loss_hist = np.asarray(aux["loss_hist"])  # (B, L) or (L,)
+            if loss_hist.ndim == 1:
+                loss_hist = loss_hist[None, :]
+            loss_chunks.append(loss_hist)
+            per_epoch = loss_hist.mean(axis=0)
+            for e in range(seg_len):
+                if self.train_indices and self.val_indices and not shared_mode:
+                    self.tracker.epoch_metric(
+                        "Loss",
+                        loss_hist[self.train_indices, e].mean(),
+                        "train",
+                    )
+                else:
+                    self.tracker.epoch_metric("Loss", per_epoch[e], "train")
+                self.tracker.tick_epoch()
+
+            # validation cadence (+ best-model gate on the primary metric)
+            if self.val_indices and epoch % cfg.validation_each_nth_epoch == 0:
+                self.tracker.epoch_metric(
+                    "Loss",
+                    loss_hist[self.val_indices, -1].mean(),
+                    "val",
+                )
+            if self.tracker.is_current_state_best_model():
+                self.best_params = state.params
+                self.save_checkpoint("best")
+
+            if (
+                cfg.compute_metrics_during_training_nth_epoch
+                and epoch % cfg.compute_metrics_during_training_nth_epoch == 0
+                and epoch < num_epochs
+            ):
+                self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
+            self._maybe_dump_images(epoch)
+            if epoch % self.CHECKPOINT_NTH_EPOCH == 0:
+                self.save_checkpoint("latest")
+
+            # LR watchdog early stop: every image's plateau scale under the
+            # threshold means every per-image fit is frozen
+            if tcfg.use_plateau and tcfg.lr_stop_scale > 0.0:
+                scales = np.asarray(aux["lr_scale"]).reshape(-1)
+                if (scales <= tcfg.lr_stop_scale).all():
+                    logger.info(
+                        "LR watchdog: all fits frozen at epoch %d", epoch
+                    )
+                    stopped_early = True
+                    break
+
+            for fn in self.handles["epoch_processed"]:
+                fn(self, epoch)
+
+        # training_finished: final metrics (+CRF), final save, checkpoint
+        final_metrics = self.evaluate(
+            compute_crf=cfg.compute_crf_with_metrics
+            or cfg.compute_crf_after_training
+        )
+        if self.best_params is None:
+            self.best_params = state.params
+        self.save_checkpoint("end")
+        # final-save handle: plot_final_indices (-1 = all images)
+        final_idx = cfg.plot_final_indices
+        if final_idx is not None:
+            if final_idx == -1:
+                final_idx = list(range(len(self.samples)))
+            elif not isinstance(final_idx, (list, tuple)):
+                final_idx = [final_idx]
+            self._dump_images(num_epochs, "final", final_idx)
+        else:
+            self._maybe_dump_images(epoch=num_epochs, force=True)
+        for fn in self.handles["training_finished"]:
+            fn(self)
+        loss_hist = (
+            np.concatenate(loss_chunks, axis=1) if loss_chunks
+            else np.zeros((len(self.samples), 0))
+        )
+        return {
+            "loss_hist": loss_hist,
+            "stopped_early": stopped_early,
+            "final_metrics": final_metrics,
+        }
+
+    # --- saving / image dumps ---------------------------------------------
+    def save_checkpoint(self, tag: str) -> str:
+        """Agent-checkpoint save (params + tracker + config snapshot).
+        Spec: `awesome/run/handles.py:195-232` save/prior-save handles."""
+        from awesome_tpu.fit.checkpoint import (
+            AgentCheckpoint,
+            save_prior_cache,
+        )
+        from awesome_tpu.serialization.jsonconv import to_jsonable
+
+        directory = os.path.join(self.output_folder, "checkpoints", tag)
+        params = (
+            self.best_params if tag == "best" and self.best_params is not None
+            else self.stacked_params
+        )
+        AgentCheckpoint(
+            name=self.config.run_name,
+            params=params,
+            tracker=self.tracker.to_dict(),
+            config=to_jsonable(self.config),
+        ).save(directory)
+        if isinstance(params, dict) and "prior" in params:
+            save_prior_cache(
+                params["prior"], os.path.join(directory, "prior_cache.npz")
+            )
+        return directory
+
+    def _maybe_dump_images(self, epoch: int, force: bool = False) -> None:
+        cfg = self.config
+        indices = cfg.plot_indices_during_training
+        if not indices:
+            return
+        nth = cfg.plot_indices_during_training_nth_epoch or 1
+        if not force and epoch % nth != 0:
+            return
+        self._dump_images(epoch, "output", indices)
+
+    def _dump_images(self, epoch: int, folder: str, indices) -> None:
+        """Qualitative dumps of seg/prior masks for selected images.
+        Spec: `awesome/run/awesome_runner.py:304-333` _save_image."""
+        from awesome_tpu.runner.functions import save_result
+
+        outputs = self._forward_all()
+        for index in indices:
+            if index >= len(self.samples):
+                continue
+            s = self.samples[index]
+            h, w = s.shape
+            n = h * w
+            out = outputs[index, :n]
+            seg = out[:, 0].reshape(h, w)
+            prior = (
+                out[:, 1].reshape(h, w) if out.shape[1] > 1 else None
+            )
+            save_result(
+                os.path.join(
+                    self.output_folder, folder, f"{index:03d}", f"e{epoch:05d}"
+                ),
+                index,
+                s.image,
+                seg > 0.5,
+                prior_mask=prior > 0.5 if prior is not None else None,
+                unaries=(
+                    seg if self.config.include_unaries_when_saving else None
+                ),
+            )
+
+    # --- eval ------------------------------------------------------------
+    def _eval_pixels(self) -> np.ndarray:
+        """Dense full-grid pixel matrices for every image, padded to a
+        shared bucket: (B, Nmax, 5) with layout (y, x, r, g, b)."""
+        if getattr(self, "_eval_px", None) is not None:
+            return self._eval_px
+        mats = []
+        for s in self.samples:
             h, w = s.shape
             yy, xx = np.mgrid[0:h, 0:w]
-            norm = np.stack(
-                [yy / h - 0.5, xx / w - 0.5], axis=-1
-            ).reshape(-1, 2)
+            norm = np.stack([yy / h - 0.5, xx / w - 0.5], -1).reshape(-1, 2)
             rgb = s.image.reshape(-1, 3)
-            px = jnp.asarray(
-                np.concatenate([norm, rgb], axis=-1, dtype=np.float32)
+            mats.append(
+                np.concatenate([norm, rgb], axis=-1).astype(np.float32)
             )
-            params_i = T.tree_select(self.stacked_params, i)
-            out = self.wrapper.apply(params_i, px)
-            seg, prior = self.wrapper.split_output(out)
-            gt = jnp.asarray(s.gt.reshape(-1, 1))
+        n_max = max(m.shape[0] for m in mats)
+        px = np.zeros((len(mats), n_max, mats[0].shape[1]), np.float32)
+        for i, m in enumerate(mats):
+            px[i, : m.shape[0]] = m
+        self._eval_px = px
+        return px
+
+    def _forward_all(self, params=None) -> np.ndarray:
+        """One vmapped device call evaluating EVERY image's model on its
+        dense grid -> (B, Nmax, 2) numpy (single host transfer). Replaces
+        the reference's per-image no-grad loop (`run/functions.py:2111`)."""
+        import jax
+        import jax.numpy as jnp
+
+        params = params if params is not None else self.stacked_params
+        px = jnp.asarray(self._eval_pixels())
+        shared = self.config.segmentation_training_mode == "multi"
+        if shared:
+            axes = {"seg": None}
+            if "prior" in params:
+                axes["prior"] = 0
+            out = jax.vmap(
+                lambda p, x: self.wrapper.apply(p, x), in_axes=(axes, 0)
+            )(params, px)
+        else:
+            out = jax.vmap(self._forward_one)(params, px)
+        if out.ndim == 2:
+            out = out[..., None]
+        return np.asarray(out)
+
+    def evaluate(
+        self, compute_crf: Optional[bool] = None, params=None
+    ) -> Dict[str, float]:
+        """Full-dataset eval: per-image seg/prior (and optionally CRF'd)
+        IoU + pixel accuracy on the dense grid vs GT — one vmapped forward
+        for all images. Spec: `awesome/run/handles.py:339-477`
+        get_compute_eval_metrics (+CRF via `run/handles.py:376-459`,
+        `run/crf.py:45`)."""
+        from awesome_tpu.measures.metrics import iou, pixel_accuracy
+
+        if compute_crf is None:
+            compute_crf = self.config.compute_crf_with_metrics
+        outputs = self._forward_all(params)
+        seg_ious, prior_ious, accs, crf_ious = [], [], [], []
+        for i, s in enumerate(self.samples):
+            h, w = s.shape
+            n = h * w
+            out = outputs[i, :n]
+            seg, prior = out[:, 0:1], (
+                out[:, 1:2] if out.shape[1] > 1 else None
+            )
+            gt = s.gt.reshape(-1, 1)
             # fg encoded as 0 -> invert for fg IoU
             seg_ious.append(float(iou(seg > 0.5, gt > 0.5, invert=True)))
             accs.append(float(pixel_accuracy(seg, gt)))
             if prior is not None:
                 prior_ious.append(
                     float(iou(prior > 0.5, gt > 0.5, invert=True))
+                )
+            if compute_crf:
+                from awesome_tpu.ops.crf import dense_crf
+
+                # seg probability of BACKGROUND (fg=0 encoding); CRF refines
+                # the 2-class distribution against the rgb image
+                refined = dense_crf(
+                    s.image, seg.reshape(h, w), is_softmax_unaries=True
+                )
+                crf_mask = refined[..., 0].reshape(-1, 1)
+                crf_ious.append(
+                    float(iou(crf_mask > 0.5, gt > 0.5, invert=True))
                 )
         metrics = {
             "MeanForegroundBinaryMIOU": float(np.mean(seg_ious)),
@@ -273,6 +815,8 @@ class AwesomeRunner(Runner):
             metrics["PriorMeanForegroundBinaryMIOU"] = float(
                 np.mean(prior_ious)
             )
+        if crf_ious:
+            metrics["CRFMeanForegroundBinaryMIOU"] = float(np.mean(crf_ious))
         for k, v in metrics.items():
             self.tracker.epoch_metric(k, v, "eval")
         return metrics
@@ -305,7 +849,7 @@ class AwesomeRunner(Runner):
             rgb = s.image.reshape(-1, 3)
             px = np.concatenate([norm, rgb], -1).astype(np.float32)
             params_i = T.tree_select(self.stacked_params, i)
-            seg = self.wrapper.apply(
+            seg = self._forward_one(
                 params_i, jnp.asarray(px), evaluate_prior=False
             )
             unaries = np.asarray(seg).reshape(-1, 1)
