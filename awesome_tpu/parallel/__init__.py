@@ -3,4 +3,5 @@ from awesome_tpu.parallel.mesh import (  # noqa: F401
     shard_batched,
     replicate,
     fit_priors_sharded,
+    fit_spatiotemporal_sharded,
 )

@@ -65,20 +65,73 @@ def fit_priors_sharded(
     mesh: Optional[Mesh] = None,
     **kwargs,
 ):
-    """`fit_priors_batched` with the image axis sharded over the mesh's
-    data axis. Works on any mesh size that divides the batch; on one chip
-    it degrades to the plain batched fit.
+    """`fit_priors_batched` sharded 2D: image axis over 'data', coordinate
+    points over 'grid' (the sequence-parallel analogue — points are
+    independent through the MLP/flow; the per-step loss reduction is the
+    one collective, a psum XLA inserts from the shardings). On one chip it
+    degrades to the plain batched fit.
     """
     from awesome_tpu.fit.prior_fit import fit_priors_batched
 
     if mesh is None:
         mesh = make_mesh()
+    grid_axis = "grid" if "grid" in mesh.axis_names else None
     stacked_params = shard_batched(mesh, stacked_params)
-    stacked_targets = shard_batched(mesh, {"t": stacked_targets})["t"]
+    stacked_targets = jax.device_put(
+        stacked_targets, NamedSharding(mesh, P("data", grid_axis, None))
+    )
     if points.ndim == 3:
-        points = shard_batched(mesh, {"p": points})["p"]
+        points = jax.device_put(
+            points, NamedSharding(mesh, P("data", grid_axis, None))
+        )
     else:
-        points = jax.device_put(points, NamedSharding(mesh, P(None, None)))
+        points = jax.device_put(
+            points, NamedSharding(mesh, P(grid_axis, None))
+        )
     return fit_priors_batched(
         model, stacked_params, points, stacked_targets, cfg, **kwargs
+    )
+
+
+def fit_spatiotemporal_sharded(
+    model,
+    params: Params,
+    frame_points: jnp.ndarray,  # (T, N, 3) or (N, 3)
+    frame_targets: jnp.ndarray,  # (T, N, 1)
+    labeled_masks,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+):
+    """Sharded spatio-temporal fit: the H*W point axis of every frame is
+    sharded over 'grid' (the H·W·T workload of SURVEY §5.7 — the largest
+    point count in the framework), the shared prior params are replicated,
+    and the per-frame loss sum becomes a psum. Semantically identical to
+    :func:`awesome_tpu.fit.spatiotemporal.fit_spatiotemporal_prior`
+    (equivalence-tested on the virtual 8-device mesh).
+    """
+    from awesome_tpu.fit.spatiotemporal import fit_spatiotemporal_prior
+
+    if mesh is None:
+        mesh = make_mesh()
+    grid_axis = "grid" if "grid" in mesh.axis_names else mesh.axis_names[-1]
+    params = replicate(mesh, params)
+    if frame_points.ndim == 3:
+        frame_points = jax.device_put(
+            frame_points, NamedSharding(mesh, P(None, grid_axis, None))
+        )
+    else:
+        frame_points = jax.device_put(
+            frame_points, NamedSharding(mesh, P(grid_axis, None))
+        )
+    frame_targets = jax.device_put(
+        frame_targets, NamedSharding(mesh, P(None, grid_axis, None))
+    )
+    if labeled_masks is not None:
+        labeled_masks = jax.device_put(
+            labeled_masks, NamedSharding(mesh, P(None, grid_axis))
+        )
+    return fit_spatiotemporal_prior(
+        model, params, frame_points, frame_targets, labeled_masks, cfg,
+        **kwargs,
     )

@@ -9,7 +9,12 @@ from awesome_tpu.core import tree as T
 from awesome_tpu.fit import FitConfig
 from awesome_tpu.fit.prior_fit import fit_prior
 from awesome_tpu.nn.icnn import ConvexNextNet
-from awesome_tpu.parallel import fit_priors_sharded, make_mesh, shard_batched
+from awesome_tpu.parallel import (
+    fit_priors_sharded,
+    fit_spatiotemporal_sharded,
+    make_mesh,
+    shard_batched,
+)
 
 
 def _unaries(h, w):
@@ -76,6 +81,75 @@ def test_grid_axis_sharding_loss_psum():
     g_local = jax.grad(lambda p: loss(p, points, target))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_local)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_2d_sharded_batched_fit_matches_single_device():
+    """Full 2D (data x grid) sharding of the batched fit engine: 4 images
+    over 'data' x points split over 'grid' must reproduce the single-device
+    fit bit-for-bit (up to f32 reduction order)."""
+    h = w = 16
+    model = ConvexNextNet(n_hidden=16, n_hidden_layers=1)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    stacked = jax.vmap(model.init)(keys)
+    points = G.flatten_grid(G.pixel_grid((h, w)))
+    targets = jnp.stack([jnp.asarray(_unaries(h, w)).reshape(-1, 1)] * 4)
+    cfg = FitConfig(num_steps=30, lr=2e-3, optimizer="adam")
+
+    mesh = make_mesh((4, 2))
+    fitted, _ = fit_priors_sharded(
+        model, stacked, points, targets, cfg, mesh=mesh
+    )
+    single, _ = fit_prior(
+        model, T.tree_select(stacked, 1), points, targets[1], cfg
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(T.tree_select(fitted, 1)),
+        jax.tree_util.tree_leaves(single),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_spatiotemporal_sharded_matches_single_device():
+    """Grid-axis sharding of the H*W*T spatio-temporal fit (the workload
+    with the most points) — sharded-vs-single equivalence."""
+    from awesome_tpu.fit.spatiotemporal import (
+        fit_spatiotemporal_prior,
+        sequence_points,
+    )
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+    h = w = 8
+    t = 3
+    model = real_nvp_path_connected_net(
+        channels=3, hidden_units=8, flow_n_flows=3, flow_output_fn="tanh",
+        spatial_shape=(h, w), convex_net_hidden_units=8,
+        convex_net_hidden_layers=1,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    points = sequence_points((h, w), t)  # (T, N, 3)
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(
+        (rng.random((t, h * w, 1)) > 0.5).astype(np.float32)
+    )
+    labeled = jnp.asarray(rng.random((t, h * w)) > 0.3)
+    cfg = FitConfig(num_steps=10, lr=2e-3)
+
+    mesh = make_mesh((1, 8))
+    sharded, aux_s = fit_spatiotemporal_sharded(
+        model, params, points, targets, labeled, cfg, mesh=mesh,
+        num_epochs=10,
+    )
+    single, aux_1 = fit_spatiotemporal_prior(
+        model, params, points, targets, labeled, cfg, num_epochs=10
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sharded), jax.tree_util.tree_leaves(single)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(aux_s["epoch_loss"]), np.asarray(aux_1["epoch_loss"]),
+        rtol=1e-4,
+    )
 
 
 def test_shard_batched_placement():
