@@ -64,35 +64,95 @@ def _box_sum(img: np.ndarray, radius: int) -> np.ndarray:
     )
 
 
+def flip_probabilities(
+    unaries: np.ndarray,
+    labeled: np.ndarray,
+    patch_radius: int = 64,
+    bg_support_threshold: int = 900,
+    bg_vote_cap: float = 0.3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-point flip probabilities from patch votes weighted by GLOBAL
+    class frequency — the reference's scheme
+    (`awesome/dataset/fbms_sequence_sample.py:560-668`):
+
+    - a labeled point may flip to the OTHER class with probability equal
+      to that class's normalized vote share in the surrounding patch,
+    - a class whose global support exceeds ``bg_support_threshold`` points
+      ("most probably a bg label", `:624`) has its vote share capped at
+      ``bg_vote_cap``,
+    - a point whose OWN label has global support above the threshold never
+      flips (`:658-662` — background points are trusted),
+    - the patch must contain both classes (`:605` requires > 2 labels
+      including the none label).
+
+    Returns (p_to_fg, p_to_bg) maps; zeros where no flip is possible.
+    """
+    fg = ((unaries == 0.0) & labeled).astype(np.float64)
+    bg = ((unaries == 1.0) & labeled).astype(np.float64)
+    fg_votes = _box_sum(fg, patch_radius)
+    bg_votes = _box_sum(bg, patch_radius)
+    total = fg_votes + bg_votes
+    both = (fg_votes > 0) & (bg_votes > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        fg_share = np.where(total > 0, fg_votes / total, 0.0)
+        bg_share = np.where(total > 0, bg_votes / total, 0.0)
+    global_fg = int(fg.sum())
+    global_bg = int(bg.sum())
+    if global_fg > bg_support_threshold:
+        fg_share = np.minimum(fg_share, bg_vote_cap)
+    if global_bg > bg_support_threshold:
+        bg_share = np.minimum(bg_share, bg_vote_cap)
+    # bg-labeled points flip to fg; fg-labeled points flip to bg
+    p_to_fg = np.where((unaries == 1.0) & labeled & both, fg_share, 0.0)
+    p_to_bg = np.where((unaries == 0.0) & labeled & both, bg_share, 0.0)
+    # own-label trust: points of a globally-dominant class never flip
+    if global_bg > bg_support_threshold:
+        p_to_fg = np.zeros_like(p_to_fg)
+    if global_fg > bg_support_threshold:
+        p_to_bg = np.zeros_like(p_to_bg)
+    return p_to_fg, p_to_bg
+
+
+def flip_on_probability(
+    unaries: np.ndarray,
+    p_to_fg: np.ndarray,
+    p_to_bg: np.ndarray,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Sample the flips (`fbms_sequence_sample.py:706` _flip_on_probability):
+    independent uniforms per point; fg flips take precedence over bg."""
+    r = rng.random(unaries.shape + (2,))
+    to_fg = r[..., 0] < p_to_fg
+    to_bg = (r[..., 1] < p_to_bg) & ~to_fg
+    out = unaries.copy()
+    out[to_fg] = 0.0
+    out[to_bg] = 1.0
+    return out
+
+
 def relabel_uncertain(
     unaries: np.ndarray,
     labeled: np.ndarray,
     confidence: np.ndarray,
     uncertainty_threshold: float = 0.4,
     patch_radius: int = 64,
+    rng: Optional[np.random.Generator] = None,
+    bg_support_threshold: int = 900,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Re-vote low-confidence labeled points by the patch-majority class.
-
-    Deviation from the reference noted: the reference samples flips from
-    probabilities combining patch votes with global class frequencies
-    (`fbms_sequence_sample.py:562-706`, partially commented-out logic);
-    here the flip is the deterministic patch-majority decision — the
-    documented intent ("uncertain points take the label of their
-    surroundings") without the stochastic machinery."""
-    fg = ((unaries == 0.0) & labeled).astype(np.float64)
-    bg = ((unaries == 1.0) & labeled).astype(np.float64)
-    fg_votes = _box_sum(fg, patch_radius)
-    bg_votes = _box_sum(bg, patch_radius)
+    """Stochastic re-labeling of low-confidence points: flip probabilities
+    from patch votes with global-frequency weighting, then sampled flips —
+    matching `fbms_sequence_sample.py:560-706` (vectorized; the reference
+    loops points in Python)."""
+    rng = rng if rng is not None else np.random.default_rng(0)
     conf = np.where(confidence == -1, 100.0, confidence)
     uncertain = (conf < uncertainty_threshold) & labeled
-    # patch must contain both classes for a re-vote (reference requires
-    # > 2 labels in the patch incl. the none label)
-    both = (fg_votes > 0) & (bg_votes > 0)
-    flip_to_fg = uncertain & both & (fg_votes > bg_votes) & (unaries == 1.0)
-    flip_to_bg = uncertain & both & (bg_votes > fg_votes) & (unaries == 0.0)
-    out = unaries.copy()
-    out[flip_to_fg] = 0.0
-    out[flip_to_bg] = 1.0
+    p_to_fg, p_to_bg = flip_probabilities(
+        unaries, labeled, patch_radius,
+        bg_support_threshold=bg_support_threshold,
+    )
+    p_to_fg = np.where(uncertain, p_to_fg, 0.0)
+    p_to_bg = np.where(uncertain, p_to_bg, 0.0)
+    out = flip_on_probability(unaries, p_to_fg, p_to_bg, rng)
     return out, labeled
 
 
@@ -103,12 +163,14 @@ def process_weak_label(
     outlier_threshold_sq: float = 1000.0,
     uncertainty_threshold: float = 0.4,
     patch_radius: int = 64,
+    seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     unaries, labeled = remove_foreground_outliers(
         unaries, labeled, outlier_threshold_sq
     )
     if confidence is not None:
         unaries, labeled = relabel_uncertain(
-            unaries, labeled, confidence, uncertainty_threshold, patch_radius
+            unaries, labeled, confidence, uncertainty_threshold, patch_radius,
+            rng=np.random.default_rng(seed),
         )
     return unaries, labeled

@@ -162,6 +162,156 @@ def elastic_transform(x, severity=1, seed=0):
     return np.clip(out, 0, 1).astype(np.float32)
 
 
+def speckle_noise(x, severity=1, seed=0):
+    c = [0.15, 0.2, 0.35, 0.45, 0.6][severity - 1]
+    return np.clip(
+        x + x * _rng(seed).normal(size=x.shape) * c, 0, 1
+    ).astype(np.float32)
+
+
+def glass_blur(x, severity=1, seed=0):
+    """Blur -> iterated local pixel shuffling -> blur. The reference swaps
+    pixel pairs in a Python double loop (`corruptions.py:158-173`); here
+    each iteration is one vectorized gather of random neighbors."""
+    sigma, max_delta, iters = [
+        (0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2)
+    ][severity - 1]
+    rng = _rng(seed)
+    h, w = x.shape[:2]
+    out = _gauss_blur(x, sigma)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(iters):
+        dy = rng.integers(-max_delta, max_delta + 1, size=(h, w))
+        dx = rng.integers(-max_delta, max_delta + 1, size=(h, w))
+        ys = np.clip(yy + dy, 0, h - 1)
+        xs = np.clip(xx + dx, 0, w - 1)
+        out = out[ys, xs]
+    return np.clip(_gauss_blur(out, sigma), 0, 1).astype(np.float32)
+
+
+def _clipped_zoom(img, zoom_factor):
+    """Center-cropped zoom keeping the original shape
+    (`corruptions.py:110-120` semantics)."""
+    from scipy import ndimage
+
+    h, w = img.shape[:2]
+    ch, cw = int(np.ceil(h / zoom_factor)), int(np.ceil(w / zoom_factor))
+    top, left = (h - ch) // 2, (w - cw) // 2
+    crop = img[top:top + ch, left:left + cw]
+    zoom = (h / crop.shape[0], w / crop.shape[1]) + (1,) * (img.ndim - 2)
+    out = ndimage.zoom(crop, zoom, order=1)
+    return out[:h, :w]
+
+
+def zoom_blur(x, severity=1, seed=0):
+    factors = [
+        np.arange(1, 1.11, 0.01), np.arange(1, 1.16, 0.01),
+        np.arange(1, 1.21, 0.02), np.arange(1, 1.26, 0.02),
+        np.arange(1, 1.31, 0.03),
+    ][severity - 1]
+    acc = np.zeros_like(x)
+    for z in factors:
+        acc += _clipped_zoom(x, z)
+    return np.clip((x + acc) / (len(factors) + 1), 0, 1).astype(np.float32)
+
+
+def _frost_texture(h, w, rng):
+    """Synthesized frost streak texture. The reference overlays bundled
+    frost photographs (`corruptions.py:233-242`, asset files not shipped
+    here) — filtered anisotropic noise thresholded into streaks is the
+    asset-free stand-in."""
+    from scipy import ndimage
+
+    noise = rng.normal(size=(h, w))
+    streaks = ndimage.gaussian_filter(noise, (0.8, 6.0))
+    streaks += 0.6 * ndimage.gaussian_filter(noise, (6.0, 0.8))
+    streaks = (streaks - streaks.min()) / max(
+        float(streaks.max() - streaks.min()), 1e-9
+    )
+    frost = np.where(streaks > 0.55, streaks, 0.0)
+    return np.repeat(frost[..., None], 3, axis=-1)
+
+
+def frost(x, severity=1, seed=0):
+    keep, amount = [
+        (1.0, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)
+    ][severity - 1]
+    tex = _frost_texture(x.shape[0], x.shape[1], _rng(seed))
+    return np.clip(keep * x + amount * tex, 0, 1).astype(np.float32)
+
+
+def snow(x, severity=1, seed=0):
+    loc, scale, zoom, thresh, mb_len, _, blend = [
+        (0.1, 0.3, 3.0, 0.5, 10, 4, 0.8),
+        (0.2, 0.3, 2.0, 0.5, 12, 4, 0.7),
+        (0.55, 0.3, 4.0, 0.9, 12, 8, 0.7),
+        (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
+        (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55),
+    ][severity - 1]
+    rng = _rng(seed)
+    layer = rng.normal(size=x.shape[:2], loc=loc, scale=scale)
+    layer = _clipped_zoom(layer[..., None], zoom)[..., 0]
+    layer = np.where(layer < thresh, 0.0, layer)
+    layer = motion_blur(
+        np.repeat(np.clip(layer, 0, 1)[..., None], 3, -1),
+        severity=min(max(mb_len // 6, 1), 5), seed=seed + 1,
+    )[..., 0]
+    gray = x.mean(axis=-1, keepdims=True)
+    base = blend * x + (1 - blend) * np.maximum(x, gray * 1.5 + 0.5)
+    return np.clip(
+        base + layer[..., None] + np.rot90(layer, 2)[..., None], 0, 1
+    ).astype(np.float32)
+
+
+def spatter(x, severity=1, seed=0):
+    """Water droplets (severities 1-3) / mud splatter (4-5)."""
+    from scipy import ndimage
+
+    loc, scale, sigma, thresh, mult, mud = [
+        (0.65, 0.3, 4.0, 0.69, 0.9, 0), (0.65, 0.3, 3.5, 0.68, 0.9, 0),
+        (0.65, 0.3, 3.0, 0.68, 0.8, 0), (0.65, 0.3, 1.2, 0.65, 1.8, 1),
+        (0.67, 0.4, 1.2, 0.65, 1.8, 1),
+    ][severity - 1]
+    rng = _rng(seed)
+    liquid = ndimage.gaussian_filter(
+        rng.normal(size=x.shape[:2], loc=loc, scale=scale), sigma
+    )
+    if mud:
+        m = (liquid > thresh).astype(np.float32)
+        m = ndimage.gaussian_filter(m, mult)
+        m = np.where(m < 0.8, 0.0, m)[..., None]
+        color = np.asarray([63, 42, 20], np.float32) / 255.0
+        return np.clip(
+            x * (1 - m) + color[None, None] * m, 0, 1
+        ).astype(np.float32)
+    liquid = np.where(liquid < thresh, 0.0, liquid)
+    # droplet highlights: edge magnitude of the liquid layer (the reference
+    # uses canny+distance transform; sobel magnitude is the scipy stand-in)
+    gy = ndimage.sobel(liquid, 0)
+    gx = ndimage.sobel(liquid, 1)
+    edges = np.sqrt(gy**2 + gx**2)
+    m = liquid * edges
+    m = m / max(float(m.max()), 1e-9) * mult
+    color = np.asarray([175, 238, 238], np.float32) / 255.0  # pale turquoise
+    return np.clip(x + m[..., None] * color[None, None], 0, 1).astype(
+        np.float32
+    )
+
+
+def jpeg_compression(x, severity=1, seed=0):
+    from io import BytesIO
+
+    from PIL import Image
+
+    quality = [25, 18, 15, 10, 7][severity - 1]
+    buf = BytesIO()
+    Image.fromarray((x * 255).astype(np.uint8)).save(
+        buf, "JPEG", quality=quality
+    )
+    out = np.asarray(Image.open(buf), np.float32) / 255.0
+    return out.astype(np.float32)
+
+
 CORRUPTIONS: Dict[str, Callable] = {
     "gaussian_noise": gaussian_noise,
     "shot_noise": shot_noise,
@@ -175,6 +325,13 @@ CORRUPTIONS: Dict[str, Callable] = {
     "pixelate": pixelate,
     "fog": fog,
     "elastic_transform": elastic_transform,
+    "speckle_noise": speckle_noise,
+    "glass_blur": glass_blur,
+    "zoom_blur": zoom_blur,
+    "frost": frost,
+    "snow": snow,
+    "spatter": spatter,
+    "jpeg_compression": jpeg_compression,
 }
 
 

@@ -59,6 +59,19 @@ def test_corruptions_shapes_and_range(name, rng):
             assert not np.allclose(y, x)
 
 
+def test_all_reference_corruptions_present():
+    """Every corruption name of `awesome/util/corruptions.py:123-368` has a
+    dispatch entry."""
+    reference_names = {
+        "gaussian_noise", "shot_noise", "impulse_noise", "speckle_noise",
+        "gaussian_blur", "glass_blur", "defocus_blur", "motion_blur",
+        "zoom_blur", "fog", "frost", "snow", "spatter", "contrast",
+        "brightness", "saturate", "jpeg_compression", "pixelate",
+        "elastic_transform",
+    }
+    assert reference_names <= set(CORRUPTIONS)
+
+
 def test_corrupt_validates():
     x = np.zeros((8, 8, 3), np.float32)
     with pytest.raises(ValueError):
