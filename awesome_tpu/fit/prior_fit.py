@@ -293,6 +293,64 @@ def fit_priors_batched(
     return fitted, aux
 
 
+def fit_multi_object_priors(
+    child_model,
+    stacked_children: Params,  # (B, K, ...) child param tree
+    points: jnp.ndarray,  # (N, C) shared or (B, N, C) per-image
+    per_object_targets: jnp.ndarray,  # (B, K, N, 1) per-object unaries
+    cfg: FitConfig,
+    retry_keys: Optional[jax.Array] = None,  # (B, K) keys
+    valid_mask: Optional[jnp.ndarray] = None,  # (B, K) bool
+    loss_fn: Optional[Callable] = None,
+) -> Tuple[Params, dict]:
+    """Fit N objects per image SIMULTANEOUSLY: the (image x object) axes
+    flatten into one batch for the vmapped engine — the TPU replacement of
+    the reference's per-object Python loop in
+    `awesome/model/multiple_object_aware_path_connected_net.py:24-68`
+    (each child prior fit serially against its object's unaries).
+
+    ``stacked_children`` is a ``MultiPriorModule.init(...)['children']``
+    tree with an extra leading image axis (e.g. from
+    ``jax.vmap(mp.init)``); inactive object slots pass ``valid_mask``
+    False (params pass through untouched, matching ``assure_prior_count``
+    growth: newly grown slots simply join the next fit call).
+    """
+    b, k = per_object_targets.shape[:2]
+
+    def flat(x):
+        return x.reshape((b * k,) + x.shape[2:])
+
+    flat_children = jax.tree_util.tree_map(flat, stacked_children)
+    flat_targets = flat(per_object_targets)
+    if points.ndim == 3:
+        pts = jnp.repeat(points, k, axis=0)  # (B*K, N, C)
+    else:
+        pts = points
+    fitted, aux = fit_priors_batched(
+        child_model,
+        flat_children,
+        pts,
+        flat_targets,
+        cfg,
+        retry_keys=retry_keys.reshape(b * k, -1)
+        if retry_keys is not None
+        else None,
+        valid_mask=valid_mask.reshape(b * k)
+        if valid_mask is not None
+        else None,
+        loss_fn=loss_fn,
+    )
+    unflat = jax.tree_util.tree_map(
+        lambda x: x.reshape((b, k) + x.shape[1:]), fitted
+    )
+    aux = {
+        key: (v.reshape((b, k) + v.shape[1:]) if hasattr(v, "reshape")
+              and v.shape[:1] == (b * k,) else v)
+        for key, v in aux.items()
+    }
+    return unflat, aux
+
+
 def fit_priors_sequential(
     model,
     init_params: Params,

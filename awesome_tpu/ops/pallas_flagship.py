@@ -1,0 +1,477 @@
+"""Pallas TPU kernel: the ENTIRE flagship fit step's loss+grad in ONE
+kernel — translation -> MinMax norm -> RealNVP flow (masked affine
+couplings + ActNorm, tanh outputs) -> ConvexNextNet ICNN -> weighted-SE on
+sigmoid, forward AND hand-derived backward.
+
+Why: the flagship per-image prior fit is LATENCY-bound, not FLOP-bound
+(docs/design.md): one XLA step issues ~150 serial tiny MXU ops (12
+couplings x ~4 matmuls fwd + the mirrored bwd + ICNN), each with fixed
+issue overhead, totalling ~0.6 ms while the arithmetic is worth ~10 us.
+Fusing the whole value_and_grad into one Pallas program removes the
+per-op overhead: weights (~40 k params) live in VMEM, the point axis is
+tiled, the coupling-input chain is kept as kernel-local values, and
+weight-gradient partials accumulate across grid steps in VMEM-resident
+output blocks (sequential TPU grid; ``@pl.when(first)`` zero-init).
+
+Math parity targets (same ops, same order, f32 throughout):
+- `awesome_tpu.nn.path_connected.PathConnectedNet.apply` (translate ->
+  norm -> flow -> ICNN; spec `awesome/model/path_connected_net.py:79-85`)
+- `awesome_tpu.nn.flows.RealNVPFlow.apply` with output_fn='tanh'
+  (spec `awesome/model/net_factory.py:70-114`)
+- `awesome_tpu.nn.icnn.ConvexNextNet.apply`
+- `awesome_tpu.fit.prior_fit.make_fit_fn`'s default loss
+  ``sum(w * (sigmoid(f(x)) - target)^2)``.
+
+Supported (= flagship) shape family: channels C == 2, alternating binary
+masks, any flow depth/width, any ICNN width/depth. Everything else keeps
+the XLA path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend may be unavailable on CPU test runs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+TILE_N = 2048
+
+Params = Any
+
+# packed buffer names, in kernel argument order (after the 3 data inputs
+# and the 4 static norm constants)
+PACKED_FIELDS = (
+    "wt", "bt",
+    "w1", "b1", "w2", "b2", "an_s", "an_t",
+    "win", "bin", "wln", "bln", "wsk", "wout", "bout", "wosk",
+)
+
+
+def _norm_constants(model) -> Tuple[np.ndarray, ...]:
+    """Fold the frozen MinMax/MeanStd into pre/post per-channel affines:
+    pre:  x2 = (x1 - min) * a + new_min         (norm.transform)
+    post: xd = z * (1/a) + (min - new_min / a)  (norm.inverse_transform)
+    Identity when model.norm is None."""
+    if model.norm is None:
+        a = np.ones((2, 1), np.float32)
+        mn = np.zeros((2, 1), np.float32)
+        new_min = 0.0
+    else:
+        norm = model.norm
+        if hasattr(norm, "min"):  # MinMax
+            mn = np.asarray(norm.min, np.float32).reshape(2, 1)
+            mx = np.asarray(norm.max, np.float32).reshape(2, 1)
+            span = np.where(mx - mn == 0, 1.0, mx - mn)
+            a = (norm.new_max - norm.new_min) / span
+            new_min = norm.new_min
+        else:  # MeanStd: (x - mean)/std
+            mn = np.asarray(norm.mean, np.float32).reshape(2, 1)
+            std = np.asarray(norm.std, np.float32).reshape(2, 1)
+            a = 1.0 / np.where(std == 0, 1.0, std)
+            new_min = 0.0
+    pre_a = a.astype(np.float32)
+    pre_b = (new_min - mn * a).astype(np.float32)  # x2 = x1*a + pre_b
+    post_a = (1.0 / a).astype(np.float32)
+    post_b = (mn - new_min / a).astype(np.float32)  # xd = z*post_a + post_b
+    return pre_a, pre_b, post_a, post_b
+
+
+def flagship_supported(model) -> bool:
+    """The packed kernel covers the flagship family: 2-channel
+    PathConnectedNet with a RealNVPFlow (tanh/no output fn, no scale) and a
+    ConvexNextNet."""
+    from awesome_tpu.nn.flows import RealNVPFlow
+    from awesome_tpu.nn.icnn import ConvexNextNet
+    from awesome_tpu.nn.path_connected import PathConnectedNet
+
+    return (
+        isinstance(model, PathConnectedNet)
+        and isinstance(model.flow_net, RealNVPFlow)
+        and isinstance(model.convex_net, ConvexNextNet)
+        and model.in_channels == 2
+        and model.flow_net.channels == 2
+        and model.flow_net.output_fn in (None, "tanh")
+        and model.flow_net.output_scale is None
+    )
+
+
+def pack_flagship(model, params: Params) -> dict:
+    """Standard param tree -> packed transposed kernel buffers."""
+    flow = params["flow"]["steps"]
+    conv = params["convex"]
+
+    def stack(get):
+        return jnp.stack([get(s) for s in flow])
+
+    packed = {
+        "wt": params["linear"]["w"].reshape(2, 1),
+        "bt": params["linear"]["b"].reshape(2, 1),
+        # merged first layers: rows [s(32) | t(32)], weights (out, in)
+        "w1": stack(lambda s: jnp.concatenate(
+            [s["s"]["l1"]["w"].T, s["t"]["l1"]["w"].T], axis=0)),
+        "b1": stack(lambda s: jnp.concatenate(
+            [s["s"]["l1"]["b"], s["t"]["l1"]["b"]])[:, None]),
+        # merged second layers: block-diagonal (4, 2*hidden) with
+        # rows [s(2) | t(2)], cols [hs | ht] — one matmul per coupling
+        "w2": stack(lambda s: jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [s["s"]["l2"]["w"].T,
+                     jnp.zeros_like(s["s"]["l2"]["w"].T)], axis=1),
+                jnp.concatenate(
+                    [jnp.zeros_like(s["t"]["l2"]["w"].T),
+                     s["t"]["l2"]["w"].T], axis=1),
+            ],
+            axis=0,
+        )),
+        "b2": stack(lambda s: jnp.concatenate(
+            [s["s"]["l2"]["b"], s["t"]["l2"]["b"]])[:, None]),
+        "an_s": stack(lambda s: s["an_s"][:, None]),
+        "an_t": stack(lambda s: s["an_t"][:, None]),
+        "win": conv["input"]["w"].T,
+        "bin": conv["input"]["b"][:, None],
+        "wln": jnp.stack([b["ln"]["w"].T for b in conv["skip"]]),
+        "bln": jnp.stack([b["ln"]["b"][:, None] for b in conv["skip"]]),
+        "wsk": jnp.stack([b["skp"]["w"].T for b in conv["skip"]]),
+        "wout": conv["out"]["ln"]["w"].T,
+        "bout": conv["out"]["ln"]["b"][:, None],
+        "wosk": conv["out"]["skp"]["w"].T,
+    }
+    return packed
+
+
+def unpack_flagship(model, packed: dict) -> Params:
+    """Packed buffers -> standard param tree (exact inverse of pack)."""
+    n_flows = packed["w1"].shape[0]
+    hidden = packed["w1"].shape[1] // 2
+    steps = []
+    for i in range(n_flows):
+        steps.append({
+            "s": {
+                "l1": {"w": packed["w1"][i, :hidden].T,
+                       "b": packed["b1"][i, :hidden, 0]},
+                "l2": {"w": packed["w2"][i, 0:2, :hidden].T,
+                       "b": packed["b2"][i, 0:2, 0]},
+            },
+            "t": {
+                "l1": {"w": packed["w1"][i, hidden:].T,
+                       "b": packed["b1"][i, hidden:, 0]},
+                "l2": {"w": packed["w2"][i, 2:4, hidden:].T,
+                       "b": packed["b2"][i, 2:4, 0]},
+            },
+            "an_s": packed["an_s"][i, :, 0],
+            "an_t": packed["an_t"][i, :, 0],
+        })
+    n_layers = packed["wln"].shape[0]
+    conv = {
+        "input": {"w": packed["win"].T, "b": packed["bin"][:, 0]},
+        "skip": [
+            {
+                "ln": {"w": packed["wln"][i].T, "b": packed["bln"][i, :, 0]},
+                "skp": {"w": packed["wsk"][i].T},
+            }
+            for i in range(n_layers)
+        ],
+        "out": {
+            "ln": {"w": packed["wout"].T, "b": packed["bout"][:, 0]},
+            "skp": {"w": packed["wosk"].T},
+        },
+    }
+    return {
+        "linear": {"w": packed["wt"][:, 0], "b": packed["bt"][:, 0]},
+        "flow": {"steps": steps},
+        "convex": conv,
+    }
+
+
+def _mask_col(i: int):
+    """Static coupling mask column for channels=2 (binary counting:
+    even flows keep channel 0, odd keep channel 1). Computed in-kernel via
+    iota — captured array constants are rejected by pallas_call."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2, 1), 0)
+    return (rows == (i % 2)).astype(jnp.float32)
+
+
+def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
+            use_sigmoid: bool,
+            x_ref, tgt_ref, wpt_ref,
+            pre_a_ref, pre_b_ref, post_a_ref, post_b_ref,
+            *refs):
+    """One point tile: full fwd + bwd, transposed (C, T) layout."""
+    n_p = len(PACKED_FIELDS)
+    w = {name: refs[k] for k, name in enumerate(PACKED_FIELDS)}
+    loss_ref = refs[n_p]
+    d = {name: refs[n_p + 1 + k] for k, name in enumerate(PACKED_FIELDS)}
+    first = pl.program_id(0) == 0
+    not_first = jnp.logical_not(first)
+
+    def acc(ref, val, idx=None):
+        """Accumulate into a (possibly sliced) VMEM-resident output block
+        across sequential grid steps: write on the first program, add on
+        the rest (slices of the same buffer are written by different
+        static ``idx`` within one program, so zero-init must be per-slice)."""
+        if idx is None:
+            @pl.when(first)
+            def _w():
+                ref[...] = val
+
+            @pl.when(not_first)
+            def _a():
+                ref[...] = ref[...] + val
+        else:
+            @pl.when(first)
+            def _w():
+                ref[idx] = val
+
+            @pl.when(not_first)
+            def _a():
+                ref[idx] = ref[idx] + val
+
+    f32 = jnp.float32
+    x = x_ref[...]  # (2, T)
+    tgt = tgt_ref[...]  # (1, T)
+    wpt = wpt_ref[...]  # (1, T)
+
+    # ---- forward: translate + norm ----
+    wt = w["wt"][...]
+    bt = w["bt"][...]
+    x1 = x * wt + bt
+    pre_a = pre_a_ref[...]
+    z = x1 * pre_a + pre_b_ref[...]
+
+    # ---- forward: flow, saving inputs + activations for the backward ----
+    # (rematerialization traded back for VMEM: at the fused tile size the
+    # whole activation set fits on-chip, so the bwd pass below reuses these
+    # instead of recomputing — ~2 fewer matmuls per coupling)
+    z_saved = []
+    h_saved = []
+    st_saved = []
+    for i in range(n_flows):
+        z_saved.append(z)
+        b = _mask_col(i)
+        zm = z * b
+        h = jnp.maximum(
+            jnp.dot(w["w1"][i], zm, preferred_element_type=f32)
+            + w["b1"][i], 0.0,
+        )  # (2*hidden, T)
+        h_saved.append(h)
+        # merged second layer: block-diagonal (4, 2*hidden) -> rows
+        # [s(2) | t(2)] in ONE matmul (the step is issue-bound; zeros in
+        # the off-blocks are free, their grads are masked in the bwd)
+        st = (
+            jnp.dot(w["w2"][i], h, preferred_element_type=f32) + w["b2"][i]
+        )  # (4, T)
+        if use_tanh:
+            st = jnp.tanh(st)
+        st_saved.append(st)
+        s, t = st[:2], st[2:]
+        z = zm + (1.0 - b) * (z * jnp.exp(s) + t)
+        z_saved.append(z)  # pre-ActNorm value
+        z = z * jnp.exp(w["an_s"][i]) + w["an_t"][i]
+
+    # ---- forward: inverse norm + ICNN ----
+    xd = z * post_a_ref[...] + post_b_ref[...]
+    pre_acts = []
+    h = jnp.dot(w["win"][...], xd, preferred_element_type=f32) + w["bin"][...]
+    pre_acts.append(h)
+    h = jnp.maximum(h, 0.0)
+    acts = [h]
+    for i in range(n_layers):
+        zl = (
+            jnp.dot(w["wln"][i], h, preferred_element_type=f32)
+            + w["bln"][i]
+            + jnp.dot(w["wsk"][i], xd, preferred_element_type=f32)
+        )
+        pre_acts.append(zl)
+        h = jnp.maximum(zl, 0.0)
+        acts.append(h)
+    y = (
+        jnp.dot(w["wout"][...], h, preferred_element_type=f32)
+        + w["bout"][...]
+        + jnp.dot(w["wosk"][...], xd, preferred_element_type=f32)
+    )  # (1, T)
+
+    # ---- loss + dL/dy ----
+    if use_sigmoid:
+        p = jax.nn.sigmoid(y)
+        e = p - tgt
+        acc(loss_ref, jnp.sum(wpt * e * e).reshape(1, 1))
+        g = wpt * 2.0 * e * p * (1.0 - p)
+    else:
+        e = y - tgt
+        acc(loss_ref, jnp.sum(wpt * e * e).reshape(1, 1))
+        g = wpt * 2.0 * e
+
+    # ---- backward: ICNN ----
+    h_last = acts[-1]
+    acc(d["wout"], jnp.dot(g, h_last.T, preferred_element_type=f32))
+    acc(d["bout"], jnp.sum(g, axis=1, keepdims=True))
+    acc(d["wosk"], jnp.dot(g, xd.T, preferred_element_type=f32))
+    dh = jnp.dot(w["wout"][...].T, g, preferred_element_type=f32)
+    dxd = jnp.dot(w["wosk"][...].T, g, preferred_element_type=f32)
+    for i in reversed(range(n_layers)):
+        dz = dh * (pre_acts[i + 1] > 0.0)
+        acc(d["wln"], jnp.dot(dz, acts[i].T, preferred_element_type=f32), i)
+        acc(d["bln"], jnp.sum(dz, axis=1, keepdims=True), i)
+        acc(d["wsk"], jnp.dot(dz, xd.T, preferred_element_type=f32), i)
+        dh = jnp.dot(w["wln"][i].T, dz, preferred_element_type=f32)
+        dxd = dxd + jnp.dot(w["wsk"][i].T, dz, preferred_element_type=f32)
+    dz0 = dh * (pre_acts[0] > 0.0)
+    acc(d["win"], jnp.dot(dz0, xd.T, preferred_element_type=f32))
+    acc(d["bin"], jnp.sum(dz0, axis=1, keepdims=True))
+    dxd = dxd + jnp.dot(w["win"][...].T, dz0, preferred_element_type=f32)
+
+    # ---- backward: inverse norm, then the flow chain ----
+    # block mask for the merged second layer: rows [s|t] x cols [hs|ht]
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 0)
+    c4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 1)
+    w2_mask = (
+        ((r4 < 2) & (c4 < hidden)) | ((r4 >= 2) & (c4 >= hidden))
+    ).astype(f32)
+
+    gz = dxd * post_a_ref[...]
+    for i in reversed(range(n_flows)):
+        z_pre_an = z_saved[2 * i + 1]
+        z_in = z_saved[2 * i]
+        es_an = jnp.exp(w["an_s"][i])
+        acc(d["an_s"], jnp.sum(gz * z_pre_an * es_an, axis=1, keepdims=True), i)
+        acc(d["an_t"], jnp.sum(gz, axis=1, keepdims=True), i)
+        gz = gz * es_an
+
+        b = _mask_col(i)
+        inv_b = 1.0 - b
+        zm = z_in * b
+        h = h_saved[i]  # post-relu (2*hidden, T); relu' == (h > 0)
+        st = st_saved[i]  # post-tanh (4, T)
+        s_act = st[:2]
+        es = jnp.exp(s_act)
+
+        ds = inv_b * gz * z_in * es
+        dt = inv_b * gz
+        d_st = jnp.concatenate([ds, dt], axis=0)  # (4, T)
+        if use_tanh:
+            d_st = d_st * (1.0 - st * st)
+        # off-block grads are nonzero algebraically but the stored weights
+        # there are exactly 0 and must stay 0 — mask them out
+        acc(d["w2"],
+            jnp.dot(d_st, h.T, preferred_element_type=f32) * w2_mask, i)
+        acc(d["b2"], jnp.sum(d_st, axis=1, keepdims=True), i)
+        dh_all = (
+            jnp.dot(w["w2"][i].T, d_st, preferred_element_type=f32)
+            * (h > 0.0)
+        )
+        acc(d["w1"], jnp.dot(dh_all, zm.T, preferred_element_type=f32), i)
+        acc(d["b1"], jnp.sum(dh_all, axis=1, keepdims=True), i)
+        dzm = jnp.dot(w["w1"][i].T, dh_all, preferred_element_type=f32)
+        gz = b * gz + inv_b * gz * es + b * dzm
+
+    # ---- backward: norm pre-affine + translation ----
+    dx1 = gz * pre_a
+    acc(d["wt"], jnp.sum(dx1 * x, axis=1, keepdims=True))
+    acc(d["bt"], jnp.sum(dx1, axis=1, keepdims=True))
+
+
+def make_flagship_loss_grad(model, use_sigmoid: bool = True,
+                            tile_n: int = TILE_N, interpret: bool = False):
+    """Build ``f(packed, x, target, point_weights) -> (loss, packed_grads)``
+    — the fused value_and_grad of the flagship objective.
+
+    x: (N, 2) points; target/point_weights: (N, 1). All f32.
+    """
+    if not flagship_supported(model):
+        raise ValueError("model not in the fused flagship family")
+    flow = model.flow_net
+    n_flows = flow.n_flows
+    hidden = flow.hidden_units
+    n_layers = model.convex_net.n_hidden_layers
+    use_tanh = flow.output_fn == "tanh"
+    pre_a, pre_b, post_a, post_b = _norm_constants(model)
+
+    kern = functools.partial(
+        _kernel, n_flows, n_layers, hidden, use_tanh, use_sigmoid
+    )
+
+    def f(packed, x, target, point_weights):
+        n = x.shape[0]
+        pad = (-n) % tile_n
+        x_t = jnp.pad(x, ((0, pad), (0, 0))).T  # (2, Np)
+        tgt_t = jnp.pad(target, ((0, pad), (0, 0))).T  # (1, Np)
+        wpt_t = jnp.pad(point_weights, ((0, pad), (0, 0))).T
+        grid = (x_t.shape[1] // tile_n,)
+
+        datas = [
+            pl.BlockSpec((2, tile_n), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i)),
+        ]
+        consts = [
+            pl.BlockSpec((2, 1), lambda i: (0, 0)) for _ in range(4)
+        ]
+        weights = [packed[name] for name in PACKED_FIELDS]
+        w_specs = [
+            pl.BlockSpec(wv.shape, lambda i, nd=wv.ndim: (0,) * nd)
+            for wv in weights
+        ]
+        out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)] + [
+            jax.ShapeDtypeStruct(wv.shape, jnp.float32) for wv in weights
+        ]
+        out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0))] + [
+            pl.BlockSpec(wv.shape, lambda i, nd=wv.ndim: (0,) * nd)
+            for wv in weights
+        ]
+        outs = pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shapes),
+            grid=grid,
+            in_specs=datas + consts + w_specs,
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(
+            x_t, tgt_t, wpt_t,
+            jnp.asarray(pre_a), jnp.asarray(pre_b),
+            jnp.asarray(post_a), jnp.asarray(post_b),
+            *weights,
+        )
+        loss = outs[0][0, 0]
+        grads = {
+            name: outs[1 + k] for k, name in enumerate(PACKED_FIELDS)
+        }
+        return loss, grads
+
+    return f
+
+
+# --- packed-state helpers for the fit engine -------------------------------
+
+
+def packed_weight_decay(model, packed: dict, flow_weight_decay: float) -> dict:
+    """Per-buffer weight decay: flow buffers get ``flow_weight_decay``
+    (the reference's optimizer param groups,
+    `awesome/model/path_connected_net.py:913-918`), everything else 0."""
+    flow_names = {"w1", "b1", "w2", "b2", "an_s", "an_t"}
+    return {
+        name: (flow_weight_decay if name in flow_names else 0.0)
+        for name in packed
+    }
+
+
+def packed_enforce_convexity(packed: dict) -> dict:
+    """Clip the ICNN hidden-to-hidden weights (wln, wout) to >= 0 — the
+    convexity projection on the packed layout (clip AFTER the optimizer
+    step, `awesome/model/path_connected_net.py:950-952`)."""
+    return dict(
+        packed,
+        wln=jnp.maximum(packed["wln"], 0.0),
+        wout=jnp.maximum(packed["wout"], 0.0),
+    )

@@ -1,0 +1,125 @@
+"""Fused flagship loss+grad kernel: math parity against the XLA path
+(interpret mode on CPU — the same kernel code compiles for TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from awesome_tpu.core import grids as G
+from awesome_tpu.fit.prior_fit import FitConfig, make_point_weights
+from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+from awesome_tpu.ops.pallas_flagship import (
+    flagship_supported,
+    make_flagship_loss_grad,
+    pack_flagship,
+    packed_enforce_convexity,
+    unpack_flagship,
+)
+
+
+def _model(h=16, w=16, flows=4, hidden=8, icnn=12, layers=2):
+    return real_nvp_path_connected_net(
+        channels=2, hidden_units=hidden, flow_n_flows=flows,
+        flow_output_fn="tanh", spatial_shape=(h, w),
+        convex_net_hidden_units=icnn, convex_net_hidden_layers=layers,
+    )
+
+
+def _data(h=16, w=16, seed=0):
+    pts = G.flatten_grid(G.pixel_grid((h, w)))
+    yy, xx = np.mgrid[0:h, 0:w]
+    fg = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2) <= (h / 3) ** 2
+    target = jnp.asarray(1.0 - fg.astype(np.float32)).reshape(-1, 1)
+    return pts, target
+
+
+def test_pack_unpack_roundtrip():
+    model = _model()
+    params = model.init(jax.random.PRNGKey(0))
+    packed = pack_flagship(model, params)
+    restored = unpack_flagship(model, packed)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # packed apply-equivalence: unpacked params drive the standard model
+    pts, _ = _data()
+    np.testing.assert_allclose(
+        np.asarray(model.apply(restored, pts)),
+        np.asarray(model.apply(params, pts)),
+        atol=0,
+    )
+
+
+@pytest.mark.parametrize("tile", [64, 256])
+def test_fused_loss_and_grad_match_xla(tile):
+    model = _model()
+    assert flagship_supported(model)
+    params = model.init(jax.random.PRNGKey(3))
+    # perturb so ActNorm / zero-init layers carry signal through tanh
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(hash(p.shape) % 1000), p.shape
+        ),
+        params,
+    )
+    pts, target = _data()
+    cfg = FitConfig()
+    weights = make_point_weights(target, cfg)
+
+    def xla_loss(p):
+        prob = jax.nn.sigmoid(model.apply(p, pts))
+        return jnp.sum(weights * (prob - target) ** 2)
+
+    ref_loss, ref_grads = jax.value_and_grad(xla_loss)(params)
+
+    fused = make_flagship_loss_grad(model, tile_n=tile, interpret=True)
+    packed = pack_flagship(model, params)
+    loss, grads_packed = fused(packed, pts, target, weights)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    grads_tree = unpack_flagship(model, grads_packed)
+    ref_flat, _ = jax.tree_util.tree_flatten(ref_grads)
+    got_flat, _ = jax.tree_util.tree_flatten(grads_tree)
+    for a, b in zip(got_flat, ref_flat):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        )
+
+
+def test_fused_handles_point_weight_padding():
+    """Padded tail points (weight 0) must not contribute."""
+    model = _model()
+    params = model.init(jax.random.PRNGKey(1))
+    pts, target = _data()
+    cfg = FitConfig()
+    weights = make_point_weights(target, cfg)
+    fused = make_flagship_loss_grad(model, tile_n=100, interpret=True)
+    packed = pack_flagship(model, params)
+    loss_a, grads_a = fused(packed, pts, target, weights)
+    fused_b = make_flagship_loss_grad(model, tile_n=256, interpret=True)
+    loss_b, grads_b = fused_b(packed, pts, target, weights)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for k in grads_a:
+        np.testing.assert_allclose(
+            np.asarray(grads_a[k]), np.asarray(grads_b[k]),
+            rtol=1e-4, atol=1e-7,
+        )
+
+
+def test_packed_enforce_convexity():
+    model = _model()
+    params = model.init(jax.random.PRNGKey(2))
+    packed = pack_flagship(model, params)
+    packed = dict(packed, wln=packed["wln"] - 0.5, wout=packed["wout"] - 0.5)
+    clipped = packed_enforce_convexity(packed)
+    assert float(np.asarray(clipped["wln"]).min()) >= 0.0
+    assert float(np.asarray(clipped["wout"]).min()) >= 0.0
+    # matches the tree-level projection
+    tree = unpack_flagship(model, packed)
+    tree_clipped = model.enforce_convexity(tree)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_flagship(model, clipped)["convex"]["skip"][0]["ln"]["w"]),
+        np.asarray(tree_clipped["convex"]["skip"][0]["ln"]["w"]),
+    )
