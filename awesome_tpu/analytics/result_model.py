@@ -72,9 +72,38 @@ class ResultModel:
             return AgentCheckpoint.load(ckpt_dir, template).params
         raise FileNotFoundError(f"no params in {self.path}")
 
-    def get_runner(self):
+    def scan_checkpoints(self) -> Dict[str, str]:
+        """Tag -> directory for every checkpoint saved during the run
+        ('best'/'latest'/'end' + any per-epoch tags).
+
+        Spec: `analytics/result_model.py:450` scan_checkpoints.
+        """
+        root = os.path.join(self.path, "checkpoints")
+        if not os.path.isdir(root):
+            return {}
+        return {
+            d: os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d))
+        }
+
+    def get_checkpoint(self, tag: str = "end", template: Optional[Any] = None):
+        """Reload one saved AgentCheckpoint (params + tracker snapshot +
+        config). Spec: `agent/torch_agent.py:1090` from_acc."""
+        from awesome_tpu.fit.checkpoint import AgentCheckpoint
+
+        ckpts = self.scan_checkpoints()
+        if tag not in ckpts:
+            raise FileNotFoundError(
+                f"no checkpoint '{tag}' in {self.path} (have {list(ckpts)})"
+            )
+        return AgentCheckpoint.load(ckpts[tag], params_template=template)
+
+    def get_runner(self, checkpoint: Optional[str] = None):
         """Rebuild a runnable AwesomeRunner from this finished run: config
-        -> build (dataset + models) -> restore the saved stacked params.
+        -> build (dataset + models) -> restore the saved stacked params
+        (from ``checkpoint`` tag when given, e.g. 'best', else the final
+        params.npz).
 
         The reference's equivalent is ``get_agent`` -> TorchAgent.from_acc
         (`analytics/result_model.py:571`, `agent/torch_agent.py:1090`).
@@ -87,30 +116,60 @@ class ResultModel:
             raise FileNotFoundError(f"no config.yaml in {self.path}")
         runner = AwesomeRunner(cfg)
         runner.build()
-        runner.stacked_params = self.get_params(
-            template=runner.stacked_params
-        )
+        if checkpoint is not None:
+            ckpt = self.get_checkpoint(
+                checkpoint, template=runner.stacked_params
+            )
+            runner.stacked_params = ckpt.params
+        else:
+            runner.stacked_params = self.get_params(
+                template=runner.stacked_params
+            )
         if self.tracker is not None:
             runner.tracker = self.tracker
         return runner
 
     def metric(self, name: str, mode: str = "eval",
-               scope: str = "epoch") -> Optional[float]:
+               scope: str = "epoch",
+               selection: str = "last",
+               maximize: bool = True) -> Optional[float]:
+        """One metric under a selection rule: 'last' (final epoch) or
+        'best' (best value over all recorded epochs — the evaluation
+        notebook's cell-16 'best' selection)."""
         t = self.tracker
         if t is None:
             return None
         s = t.series.get((name, scope, mode))
-        return s.last if s else None
+        if not s:
+            return None
+        if selection == "best":
+            best = s.best(maximize)
+            return best[1] if best else None
+        return s.last
 
-    def metrics(self, mode: str = "eval") -> Dict[str, float]:
+    def metric_best_epoch(self, name: str, mode: str = "eval",
+                          scope: str = "epoch",
+                          maximize: bool = True):
+        """(epoch, value) of the best recorded value."""
+        t = self.tracker
+        if t is None:
+            return None
+        s = t.series.get((name, scope, mode))
+        return s.best(maximize) if s else None
+
+    def metrics(self, mode: str = "eval", selection: str = "last",
+                maximize: bool = True) -> Dict[str, float]:
         t = self.tracker
         if t is None:
             return {}
-        return {
-            name: series.last
-            for (name, scope, m), series in t.series.items()
-            if m == mode and series.last is not None
-        }
+        out = {}
+        for (name, scope, m), series in t.series.items():
+            if m != mode or scope != "epoch":
+                continue
+            v = self.metric(name, mode, scope, selection, maximize)
+            if v is not None:
+                out[name] = v
+        return out
 
     @staticmethod
     def scan_result_directory(runs_path: str) -> List["ResultModel"]:
@@ -129,6 +188,32 @@ class ResultModel:
         return out
 
 
+class NoisyUnariesResultModel(ResultModel):
+    """ResultModel for the noisy weak-label experiments: knows its label
+    noise level so runs line up into a noise -> metric curve (the
+    fbms_spatio_temporal_noisy_eval table).
+
+    Spec: `awesome/analytics/result_model.py:668` NoisyUnariesResultModel.
+    """
+
+    @property
+    def noise_level(self) -> Optional[float]:
+        cfg = self.config
+        if cfg is None:
+            return None
+        for source in (cfg.dataset_args or {}, getattr(cfg, "pretrain_args",
+                                                       {}) or {}):
+            for key in ("flip_probability", "noise", "noise_level"):
+                if key in source:
+                    return float(source[key])
+            inner = source.get("dataset")
+            if isinstance(inner, dict):
+                for key in ("flip_probability", "noise"):
+                    if key in inner:
+                        return float(inner[key])
+        return None
+
+
 class ResultComparison:
     """Cross-run metric tables (the paper-table generator)."""
 
@@ -136,21 +221,42 @@ class ResultComparison:
         self.results = results
 
     def table(self, metric_names: Optional[List[str]] = None,
-              mode: str = "eval"):
+              mode: str = "eval", selection: str = "last",
+              maximize: bool = True):
+        """One row per run. ``selection='best'`` reproduces the notebook's
+        best-epoch table (evaluation.ipynb cell 16) from archived runs."""
         import pandas as pd
 
         rows = []
         for r in self.results:
             row = {"run": r.name}
-            m = r.metrics(mode)
+            m = r.metrics(mode, selection=selection, maximize=maximize)
             if metric_names:
                 m = {k: v for k, v in m.items() if k in metric_names}
             row.update(m)
+            if selection == "best" and metric_names:
+                for k in metric_names:
+                    best = r.metric_best_epoch(k, mode, maximize=maximize)
+                    if best:
+                        row[f"{k}:epoch"] = best[0]
+            if isinstance(r, NoisyUnariesResultModel):
+                row["noise"] = r.noise_level
             if r.config is not None and r.config.diff_config:
                 for k, v in r.config.diff_config.items():
                     row[f"cfg:{k}"] = v
             rows.append(row)
         return pd.DataFrame(rows)
+
+    def noise_curve(self, metric: str, mode: str = "eval"):
+        """noise level -> metric (sorted), for NoisyUnariesResultModels."""
+        pts = [
+            (r.noise_level, r.metric(metric, mode))
+            for r in self.results
+            if isinstance(r, NoisyUnariesResultModel)
+            and r.noise_level is not None
+            and r.metric(metric, mode) is not None
+        ]
+        return sorted(pts)
 
     def to_markdown(self, **kwargs) -> str:
         return self.table(**kwargs).to_markdown(index=False)

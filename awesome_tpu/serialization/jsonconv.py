@@ -121,6 +121,44 @@ register_rule(
 )
 
 
+def _is_module_function(v) -> bool:
+    import types
+
+    if not isinstance(v, types.FunctionType):
+        return False
+    # only module-level functions round-trip by reference (the reference's
+    # function rule has the same restriction,
+    # `awesome/serialization/rules/json_function_serialization_rule.py`)
+    return "<locals>" not in v.__qualname__
+
+
+register_rule(
+    "function",
+    _is_module_function,
+    lambda v: {CLASS_KEY: "builtins.function",
+               "name": f"{v.__module__}.{v.__qualname__}"},
+    lambda d: dynamic_import(d["name"]),
+)
+
+
+def _pickle_encode(v):
+    import base64
+    import pickle
+
+    return {
+        CLASS_KEY: "pickle",
+        "data": base64.b64encode(pickle.dumps(v)).decode("ascii"),
+        "repr": repr(v)[:200],
+    }
+
+
+def _pickle_decode(d):
+    import base64
+    import pickle
+
+    return pickle.loads(base64.b64decode(d["data"]))
+
+
 # --- core ----------------------------------------------------------------
 
 def to_jsonable(value: Any) -> Any:
@@ -145,7 +183,9 @@ def to_jsonable(value: Any) -> Any:
             if not k.startswith("_"):
                 out[k] = to_jsonable(v)
         return out
-    raise TypeError(f"Cannot serialize {type(value)}")
+    # last resort: base64 pickle (the reference's pickle rule,
+    # `awesome/serialization/rules/json_pickle_serialization_rule.py`)
+    return _pickle_encode(value)
 
 
 def from_jsonable(data: Any) -> Any:
@@ -157,19 +197,22 @@ def from_jsonable(data: Any) -> Any:
     tag = data.get(CLASS_KEY)
     if tag is None:
         return {k: from_jsonable(v) for k, v in data.items()}
-    for rule in _RULES:
-        if rule.name == "tuple" and tag == "builtins.tuple":
-            return rule.decode(data)
-        if rule.name == "set" and tag == "builtins.set":
-            return rule.decode(data)
-        if rule.name == "slice" and tag == "builtins.slice":
-            return rule.decode(data)
-        if rule.name == "datetime" and tag == "datetime.datetime":
-            return rule.decode(data)
-        if rule.name == "type" and tag == "builtins.type":
-            return rule.decode(data)
-        if rule.name == "ndarray" and tag == "numpy.ndarray":
-            return rule.decode(data)
+    decoders = {
+        "builtins.tuple": "tuple",
+        "builtins.set": "set",
+        "builtins.slice": "slice",
+        "datetime.datetime": "datetime",
+        "builtins.type": "type",
+        "numpy.ndarray": "ndarray",
+        "builtins.function": "function",
+    }
+    if tag in decoders:
+        rule_name = decoders[tag]
+        for rule in _RULES:
+            if rule.name == rule_name:
+                return rule.decode(data)
+    if tag == "pickle":
+        return _pickle_decode(data)
     if data.get("__enum__"):
         return dynamic_import(tag)(from_jsonable(data["value"]))
     cls = dynamic_import(tag)

@@ -95,3 +95,55 @@ def test_result_model_get_runner_resumes(tmp_path):
     # and training can continue from the restored state
     res = runner.train()
     assert np.isfinite(res["loss_hist"]).all()
+
+
+def test_checkpoint_scanning_and_reload(tmp_path):
+    """Per-run checkpoint enumeration + AgentCheckpoint reload + runner
+    restore from the 'best' checkpoint.
+    Spec: `analytics/result_model.py:411,450,571`."""
+    out = _run(tmp_path, "ckpts", 40)
+    r = ResultModel.from_path(out)
+    ckpts = r.scan_checkpoints()
+    assert {"best", "end"} <= set(ckpts)
+    ck = r.get_checkpoint("end")
+    assert ck.tracker is not None and ck.params is not None
+    runner = r.get_runner(checkpoint="best")
+    m = runner.evaluate()
+    assert 0.0 <= m["MeanForegroundBinaryMIOU"] <= 1.0
+    with pytest.raises(FileNotFoundError):
+        r.get_checkpoint("nope")
+
+
+def test_best_epoch_selection_table(tmp_path):
+    """ResultComparison reproduces a 'best'-selection table (evaluation
+    notebook cell 16) from archived runs."""
+    _run(tmp_path, "sel_a", 40)
+    _run(tmp_path, "sel_b", 40)
+    results = ResultModel.scan_result_directory(str(tmp_path))
+    cmp = ResultComparison(results)
+    metric = "MeanForegroundBinaryMIOU"
+    df_last = cmp.table(metric_names=[metric], selection="last")
+    df_best = cmp.table(metric_names=[metric], selection="best")
+    assert len(df_best) == len(df_last) == 2
+    # best >= last for a maximized metric, and the best epoch is recorded
+    assert (df_best[metric] >= df_last[metric] - 1e-9).all()
+    assert f"{metric}:epoch" in df_best.columns
+    r = results[0]
+    best = r.metric_best_epoch(metric)
+    assert best is not None and best[1] == r.metric(metric, selection="best")
+
+
+def test_noisy_unaries_result_model(tmp_path):
+    from awesome_tpu.analytics.result_model import NoisyUnariesResultModel
+
+    out = _run(tmp_path, "noisy", 20)
+    r = NoisyUnariesResultModel.from_path(out)
+    # inject a noise level into the archived config
+    cfg = r.config
+    cfg.dataset_args["flip_probability"] = 0.2
+    assert r.noise_level == 0.2
+    cmp = ResultComparison([r])
+    df = cmp.table()
+    assert "noise" in df.columns
+    curve = cmp.noise_curve("MeanForegroundBinaryMIOU")
+    assert curve and curve[0][0] == 0.2

@@ -186,3 +186,26 @@ def test_format_helpers(tmp_path):
     assert numerated_file_name(p) == p
     open(p, "w").close()
     assert numerated_file_name(p).endswith("f_1.txt")
+
+
+def test_serialization_function_rule_roundtrips():
+    """Module-level functions serialize by dotted reference.
+    Spec: `awesome/serialization/rules` function rule."""
+    from awesome_tpu.serialization.jsonconv import from_jsonable, to_jsonable
+    from awesome_tpu.measures.losses import bce
+
+    data = to_jsonable({"criterion": bce})
+    restored = from_jsonable(data)
+    assert restored["criterion"] is bce
+
+
+def test_serialization_pickle_fallback_roundtrips():
+    """Types with no rule fall back to base64 pickle (reference pickle
+    rule) instead of raising."""
+    from awesome_tpu.serialization.jsonconv import from_jsonable, to_jsonable
+
+    value = {"rng_state": bytes(range(8)), "c": complex(1, 2)}
+    data = to_jsonable(value)
+    restored = from_jsonable(data)
+    assert restored["rng_state"] == value["rng_state"]
+    assert restored["c"] == value["c"]
