@@ -315,6 +315,10 @@ class FBMSSequenceDataset:
         foreground_ids: Optional[Sequence[int]] = None,
         flip_probability: float = 0.0,
         noise_seed: int = 0,
+        use_memory_cache: bool = False,
+        processed_weak_labels_dir: Optional[str] = None,
+        do_weak_label_preprocessing: bool = False,
+        confidence_dir: Optional[str] = None,
     ):
         self.dataset_path = dataset_path
         self.ground_truth_dir = ground_truth_dir
@@ -323,6 +327,15 @@ class FBMSSequenceDataset:
         self.foreground_ids = foreground_ids
         self.flip_probability = flip_probability
         self.noise_seed = noise_seed
+        # per-frame caching (`fbms_sequence_sample.py:275-290`
+        # use_memory_cache + the processed_weak_labels_dir disk cache of
+        # `fbms_sequence_dataset.py`): processed weak labels are expensive
+        # (outlier KD-tree + patch voting), so cache per frame
+        self.use_memory_cache = use_memory_cache
+        self.processed_weak_labels_dir = processed_weak_labels_dir
+        self.do_weak_label_preprocessing = do_weak_label_preprocessing
+        self.confidence_dir = confidence_dir
+        self._weak_label_cache: dict = {}
         self._trajectories: Optional[List[Trajectory]] = None
         self.frames = self._index_frames()
         self.gt_description = self._load_gt_description()
@@ -397,6 +410,62 @@ class FBMSSequenceDataset:
                 return (gt == bg_val).astype(np.float32)
         return None
 
+    def _load_confidence(self, index: int) -> Optional[np.ndarray]:
+        """Per-frame tracker confidence map, when present (.npy/.npz; the
+        reference reads h5 files from confidence_dir)."""
+        if self.confidence_dir is None:
+            return None
+        base = os.path.join(self.dataset_path, self.confidence_dir)
+        for name in (f"{index:04d}.npy", f"{index}.npy", f"{index:04d}.npz"):
+            p = os.path.join(base, name)
+            if os.path.exists(p):
+                data = np.load(p)
+                return data["confidence"] if hasattr(data, "files") else data
+        return None
+
+    def _weak_label(self, index: int, shape) -> Tuple[np.ndarray, np.ndarray]:
+        """(unaries, labeled) for one frame, with memory + disk caching of
+        the (processed) weak label (`fbms_sequence_sample.py:275-290`)."""
+        if self.use_memory_cache and index in self._weak_label_cache:
+            return self._weak_label_cache[index]
+        disk = None
+        if self.processed_weak_labels_dir is not None:
+            os.makedirs(self.processed_weak_labels_dir, exist_ok=True)
+            disk = os.path.join(
+                self.processed_weak_labels_dir,
+                f"{self.sequence_name}_{index:04d}.npz",
+            )
+            if os.path.exists(disk):
+                data = np.load(disk)
+                out = (data["unaries"], data["labeled"])
+                if self.use_memory_cache:
+                    self._weak_label_cache[index] = out
+                return out
+        rng = np.random.default_rng(self.noise_seed + index)
+        unaries, labeled = weak_label_unaries(
+            self.trajectories,
+            index,
+            shape,
+            foreground_ids=self.foreground_ids,
+            flip_probability=self.flip_probability,
+            rng=rng,
+        )
+        if self.do_weak_label_preprocessing:
+            from awesome_tpu.data.weak_label_processing import (
+                process_weak_label,
+            )
+
+            unaries, labeled = process_weak_label(
+                unaries, labeled,
+                confidence=self._load_confidence(index),
+                seed=self.noise_seed + index,
+            )
+        if disk is not None:
+            np.savez(disk, unaries=unaries, labeled=labeled)
+        if self.use_memory_cache:
+            self._weak_label_cache[index] = (unaries, labeled)
+        return unaries, labeled
+
     def sample(self, index: int) -> Dict[str, np.ndarray]:
         """Assemble one frame: image, weak unaries + labeled mask, optional
         GT, (x, y, t) positional channels."""
@@ -404,15 +473,7 @@ class FBMSSequenceDataset:
 
         img = self.load_frame(index)
         h, w = img.shape[:2]
-        rng = np.random.default_rng(self.noise_seed + index)
-        unaries, labeled = weak_label_unaries(
-            self.trajectories,
-            index,
-            (h, w),
-            foreground_ids=self.foreground_ids,
-            flip_probability=self.flip_probability,
-            rng=rng,
-        )
+        unaries, labeled = self._weak_label(index, (h, w))
         t_max = max(len(self.frames) - 1, 1)
         xy_t = assemble_channels(img, "xy", t=float(index), t_max=float(t_max))
         return {

@@ -74,6 +74,12 @@ class FitConfig:
     # and the loss in f32. Flow exp-scales stay bounded (tanh) so bf16 is
     # safe there; expect ~1e-2 softer mask boundaries.
     compute_dtype: Any = None  # e.g. jnp.bfloat16
+    # Opt-in fused Pallas step (ops/pallas_flagship): whole loss+grad in
+    # one kernel. Measured 1.9x the XLA path for SINGLE-image fits on the
+    # TPU (latency-bound there); large vmapped batches stay faster on the
+    # XLA path (its per-op overhead amortizes over the batch), so this is
+    # a per-call choice, not a default. TPU-only; flagship models only.
+    fused: bool = False
 
 
 def make_point_weights(target_points: jnp.ndarray, cfg: FitConfig) -> jnp.ndarray:
@@ -129,6 +135,10 @@ def make_fit_fn(
     ``loss_fn(params, points, target, weights) -> scalar`` may override the
     default weighted-SE-on-sigmoid objective.
     """
+    if cfg.fused and loss_fn is None:
+        from awesome_tpu.fit.fused_fit import make_fused_fit_fn
+
+        return make_fused_fit_fn(model, cfg)
     init_fn, update_fn = _optim_fns(cfg)
 
     if loss_fn is None:

@@ -127,3 +127,78 @@ def test_assemble_channels_modes():
     assert ds[4, 5, 0] == 0.0  # a class-0 pixel has zero distance to class 0
     assert ds[0, 0, 1] == 0.0  # the class-1 scribble pixel, channel 1
     assert ds[0, 0, 0] > 0.0  # but positive distance to class 0
+
+
+def test_subdivisible_subset_view():
+    """Subset view with two-way index remapping + split restriction.
+    Spec: `awesome/dataset/subdivisible_dataset.py:13-124`."""
+    import numpy as np
+
+    from awesome_tpu.data.subdivisible import SubdivisibleDataset, SubsetView
+
+    v = SubsetView(10, [2, 5, 7])
+    assert len(v) == 3
+    assert v.get_data_index(1) == 5
+    assert v.get_subset_index(7) == 2
+    assert v.get_subset_index(3) is None
+    assert v.data_indices() == [2, 5, 7]
+    train, val = v.subset_split_indices(
+        np.asarray([0, 2, 5]), np.asarray([7, 8])
+    )
+    assert train.tolist() == [0, 1] and val.tolist() == [2]
+
+    # identity (no subset)
+    v0 = SubsetView(4)
+    assert len(v0) == 4 and v0.get_data_index(3) == 3
+    assert v0.get_subset_index(2) == 2
+
+    # slice specifier + dataset wrapper
+    class DS:
+        def __len__(self):
+            return 6
+
+        def load(self, i):
+            return i * 10
+
+    sd = SubdivisibleDataset(DS(), subset=slice(1, 5, 2))
+    assert len(sd) == 2
+    assert sd.load(0) == 10 and sd[1] == 30
+    assert sd.get_data_index(1) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        SubsetView(3, [5])
+
+
+def test_fbms_per_frame_caching(tmp_path):
+    """Memory + disk caching of (processed) weak labels.
+    Spec: `fbms_sequence_sample.py:275-290`."""
+    import numpy as np
+
+    from awesome_tpu.data.fbms import FBMSSequenceDataset
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    cache = str(tmp_path / "processed")
+    ds = FBMSSequenceDataset(
+        seq, use_memory_cache=True, processed_weak_labels_dir=cache,
+        do_weak_label_preprocessing=True,
+    )
+    s1 = ds.sample(0)
+    import os
+
+    files = os.listdir(cache)
+    assert len(files) == 1 and files[0].endswith("_0000.npz")
+    assert 0 in ds._weak_label_cache
+    # second access: identical content from the memory cache
+    s2 = ds.sample(0)
+    np.testing.assert_array_equal(s1["unaries"], s2["unaries"])
+    # fresh dataset reuses the DISK cache
+    ds2 = FBMSSequenceDataset(
+        seq, processed_weak_labels_dir=cache,
+        do_weak_label_preprocessing=True,
+    )
+    s3 = ds2.sample(0)
+    np.testing.assert_array_equal(s1["unaries"], s3["unaries"])
+    np.testing.assert_array_equal(s1["labeled"], s3["labeled"])
