@@ -8,6 +8,7 @@ in every loss (the fit engine's point-weight vector already flows through).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -41,3 +42,31 @@ def stack_padded(
     target = bucket_size(max(p.shape[0] for p in pixel_lists), granularity)
     padded, masks = zip(*(pad_points(p, target) for p in pixel_lists))
     return np.stack(padded), np.stack(masks)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchSettings:
+    """Per-dataset batch-size + shuffle configuration consumed by the
+    training engines.
+
+    Spec: `awesome/dataset/batched_dataset.py:5-38` ``BatchedDataset``
+    (training/validation batch size + shuffle flags the agent reads when
+    building loaders; here the epoch planners read them).
+    """
+
+    training_batch_size: int = 1
+    validation_batch_size: int = 1
+    shuffle_in_training_dataloader: bool = True
+    shuffle_in_validation_dataloader: bool = False
+
+    @classmethod
+    def of(cls, dataset) -> "BatchSettings":
+        """Settings of a dataset (its ``batch_settings`` attr or fields,
+        else defaults)."""
+        if hasattr(dataset, "batch_settings"):
+            return dataset.batch_settings
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if hasattr(dataset, f.name):
+                kwargs[f.name] = getattr(dataset, f.name)
+        return cls(**kwargs)

@@ -319,7 +319,20 @@ class FBMSSequenceDataset:
         processed_weak_labels_dir: Optional[str] = None,
         do_weak_label_preprocessing: bool = False,
         confidence_dir: Optional[str] = None,
+        training_batch_size: int = 1,
+        validation_batch_size: int = 1,
+        shuffle_in_training_dataloader: bool = True,
+        shuffle_in_validation_dataloader: bool = False,
     ):
+        from awesome_tpu.data.batching import BatchSettings
+
+        # per-dataset batch config (`awesome/dataset/batched_dataset.py`)
+        self.batch_settings = BatchSettings(
+            training_batch_size=training_batch_size,
+            validation_batch_size=validation_batch_size,
+            shuffle_in_training_dataloader=shuffle_in_training_dataloader,
+            shuffle_in_validation_dataloader=shuffle_in_validation_dataloader,
+        )
         self.dataset_path = dataset_path
         self.ground_truth_dir = ground_truth_dir
         self.trajectory_dir = trajectory_dir

@@ -39,8 +39,74 @@ class EpochEventArgs(EventArgs):
 
 @dataclasses.dataclass
 class SaveEventArgs(EventArgs):
+    """Spec: `awesome/event/agent_save_event_args.py` (SaveStage)."""
+
     stage: str = "checkpoint"  # 'pretrain' | 'best' | 'end' | 'checkpoint'
     path: Optional[str] = None
+
+
+@dataclasses.dataclass
+class ModelStepEventArgs(EventArgs):
+    """Per-step/epoch payload: what the reference hands every handler.
+
+    Spec: `awesome/event/torch_model_step_event_args.py` (model, output,
+    loss, tracker, mode, scope, remaining_iterations). Params stand in for
+    the mutable torch model; outputs/losses arrive as (batched) arrays.
+    """
+
+    params: Any = None
+    output: Any = None
+    loss: Optional[float] = None
+    tracker: Any = None
+    mode: str = "train"  # LearningMode: 'train' | 'val'
+    scope: str = "batch"  # LearningScope: 'batch' | 'epoch'
+    remaining_iterations: int = 0
+    indices: Any = None
+
+
+@dataclasses.dataclass
+class OptimizerCreatedEventArgs(EventArgs):
+    """Spec: `awesome/event/torch_optimizer_created_event_args.py` — fired
+    when the optimizer state is (re)built so schedulers/watchdogs can
+    re-register."""
+
+    optimizer_name: str = ""
+    opt_state: Any = None
+    lr: Optional[float] = None
+
+
+@dataclasses.dataclass
+class ParamAlteredEventArgs(EventArgs):
+    """Dynamic param-set changes (multi-prior grow/shrink) so the
+    optimizer state can be resynced.
+
+    Spec: `awesome/event/torch_param_altered_event_args.py` +
+    `awesome/run/awesome_runner.py:477-490` _alter_optimizer. In the
+    stacked-tree design this carries the new active count + the slots
+    whose moments must be reset.
+    """
+
+    added_slots: Optional[List[int]] = None
+    removed_slots: Optional[List[int]] = None
+    new_count: Optional[int] = None
+
+
+@dataclasses.dataclass
+class TrainingStartedEventArgs(EventArgs):
+    """Spec: `awesome/event/torch_training_started_event_args.py`."""
+
+    num_epochs: int = 0
+    start_epoch: int = 0
+
+
+@dataclasses.dataclass
+class TrainingFinishedEventArgs(EventArgs):
+    """Spec: `awesome/event/training_finished_event_args.py` — records the
+    error (if any) that ended training, for the on-training-error save
+    handles."""
+
+    error: Optional[BaseException] = None
+    interrupted: bool = False
 
 
 class Event(Generic[T]):

@@ -142,6 +142,31 @@ class Tracker:
             return cls.from_dict(json.load(f))
 
 
+def log_loss_terms(
+    tracker: "Tracker",
+    terms: Dict[str, Any],
+    mode: str = "train",
+    scope: str = "epoch",
+    prefix: str = "",
+) -> None:
+    """TrackerLoss.log equivalent: recursively log named sub-loss terms
+    with path-joined names (nested criteria produce 'Parent/Child' tags).
+
+    Spec: `awesome/measures/tracker_loss.py:61` — losses here RETURN their
+    sub-term dicts (pure functions) instead of holding a tracker; this is
+    the single place that walks them into the tracker.
+    """
+    for key, value in terms.items():
+        name = f"{prefix}/{key}" if prefix else key
+        if isinstance(value, dict):
+            log_loss_terms(tracker, value, mode, scope, name)
+            continue
+        record = (
+            tracker.epoch_metric if scope == "epoch" else tracker.step_metric
+        )
+        record(name, float(np.asarray(value)), mode)
+
+
 class DataTracker:
     """Per-epoch accumulation of raw tensors (losses, predictions, labels,
     indices) for post-hoc analysis.

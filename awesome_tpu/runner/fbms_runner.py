@@ -199,7 +199,7 @@ class FBMSRunner:
         num_epochs: int = 15,
         lr: float = 1e-4,
         prior_lr: float = 1e-4,
-        batch_size: int = 1,
+        batch_size: Optional[int] = None,  # None -> dataset BatchSettings
         seed: int = 0,
         train_segmentation: bool = True,
         alpha: float = 1.0,
@@ -288,6 +288,10 @@ class FBMSRunner:
             "target": jnp.asarray(targets),
         }
         rng = np.random.default_rng(seed)
+        if batch_size is None:
+            from awesome_tpu.data.batching import BatchSettings
+
+            batch_size = BatchSettings.of(self.dataset).training_batch_size
         bs = min(batch_size, t)
         epoch_metrics = []
         for _ in range(num_epochs):

@@ -90,3 +90,96 @@ def test_noisy_path_connected_pretrain():
     fitted, aux = pretrain_noisy(model, params, pts, targets, labeled,
                                  num_epochs=20)
     assert np.isfinite(np.asarray(aux["epoch_loss"])).all()
+
+
+def test_log_loss_terms_recursive_paths():
+    """TrackerLoss.log parity: nested sub-loss dicts land in the tracker
+    under path-joined names (`awesome/measures/tracker_loss.py:61`)."""
+    from awesome_tpu.fit.tracker import Tracker, log_loss_terms
+
+    t = Tracker()
+    log_loss_terms(
+        t,
+        {"Loss": 1.0, "FBMSJointLoss": {"segmentation_loss": 0.5,
+                                        "penalty": {"SE": 0.25}}},
+        mode="train",
+    )
+    assert ("Loss", "epoch", "train") in t.series
+    assert ("FBMSJointLoss/segmentation_loss", "epoch", "train") in t.series
+    assert t.series[("FBMSJointLoss/penalty/SE", "epoch", "train")].last == 0.25
+
+
+def test_saveable_decorator(tmp_path):
+    from awesome_tpu.runner.functions import saveable
+
+    calls = []
+
+    @saveable
+    def plot():
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        plt.plot([0, 1], [0, 1])
+        calls.append(1)
+        return fig
+
+    p = str(tmp_path / "fig.png")
+    plot(path=p)
+    import os
+
+    assert os.path.exists(p) and calls == [1]
+
+
+def test_sam_mask_utils():
+    import numpy as np
+
+    from awesome_tpu.runner.functions import (
+        filter_sam_masks,
+        sam_masks_to_label_mask,
+    )
+
+    big = np.zeros((8, 8), bool)
+    big[:6, :6] = True
+    small = np.zeros((8, 8), bool)
+    small[1:3, 1:3] = True
+    label = sam_masks_to_label_mask([small, big], scores=[0.9, 0.8])
+    # big painted first, small overwrites inside it
+    assert label[0, 0] == 1  # big got id 1 (painted first -> bigger area)
+    assert label[1, 1] == 2  # small overwrote with id 2
+    assert label[7, 7] == 0
+    masks, scores = filter_sam_masks(
+        [small, big], [0.5, 0.9], min_score=0.8, min_area=5
+    )
+    assert len(masks) == 1 and scores == [0.9]
+
+
+def test_space_time_tube_plot(tmp_path):
+    import numpy as np
+
+    from awesome_tpu.runner.functions import plot_space_time_tube
+
+    vol = np.zeros((4, 8, 8), bool)
+    vol[:, 3:5, 3:5] = True
+    p = str(tmp_path / "tube.png")
+    plot_space_time_tube(vol, path=p)
+    import os
+
+    assert os.path.exists(p)
+
+
+def test_batch_settings_of_dataset(tmp_path):
+    from awesome_tpu.data.batching import BatchSettings
+    from awesome_tpu.data.fbms import FBMSSequenceDataset
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    ds = FBMSSequenceDataset(seq, training_batch_size=32,
+                             shuffle_in_validation_dataloader=True)
+    bs = BatchSettings.of(ds)
+    assert bs.training_batch_size == 32
+    assert bs.shuffle_in_validation_dataloader is True
+    # defaults for plain objects
+    assert BatchSettings.of(object()).training_batch_size == 1
