@@ -202,3 +202,44 @@ def test_fbms_per_frame_caching(tmp_path):
     s3 = ds2.sample(0)
     np.testing.assert_array_equal(s1["unaries"], s3["unaries"])
     np.testing.assert_array_equal(s1["labeled"], s3["labeled"])
+
+
+def test_scribble_image_and_sisbosi_depth():
+    """ScribbleImage 2d/3d emission, patch crops, subset views.
+    Spec: `awesome/dataset/sisbosi_dataset.py:26-181,223,432`."""
+    import numpy as np
+
+    from awesome_tpu.data.sisbosi import ScribbleImage, SISBOSIDataset
+    from awesome_tpu.data.synthetic import synthetic_convexity_dataset
+
+    samples = synthetic_convexity_dataset(n=3, h=40, w=40)
+    scribble = np.full((40, 40), 2, np.uint8)
+    scribble[samples[0].fg_mask] = 0
+    scribble[samples[0].bg_mask] = 1
+    si = ScribbleImage(image=samples[0].image, gt=samples[0].gt,
+                       scribble=scribble)
+    d3 = si["3d"]
+    assert d3["rgb"].shape == (40, 40, 3)
+    assert d3["xy"].shape == (40, 40, 2)
+    assert d3["feat"].shape == (40, 40, 3)  # rgb fallback
+    d2 = si["2d"]
+    assert d2["rgb"].shape == (1600, 3)
+    assert d2["xy_clean"].shape == (1600, 2)
+    assert si.get_number_of_classes() == 2
+    assert si.get_xy_dimension() == 2
+
+    # patch crops restrict the emitted size
+    ds = SISBOSIDataset(samples, augmentation=False, patch_size=16)
+    s = ds.load(0)
+    assert s.gt.shape == (16, 16)
+
+    # subset views remap indices
+    sub = SISBOSIDataset(samples, augmentation=False, subset=[2, 0])
+    assert len(sub) == 2
+    assert sub.get_data_index(0) == 2
+    np.testing.assert_array_equal(sub.load(1).gt, samples[0].gt)
+
+    # distance-scribble xy encoding
+    si_d = ScribbleImage(image=samples[0].image, gt=samples[0].gt,
+                         scribble=scribble, xy_mode="distance_scribble")
+    assert si_d.xy.shape[-1] == 2  # per-class EDT channels (fg, bg)
