@@ -49,6 +49,7 @@ class AwesomeDataset:
         temporal: bool = False,
         split_seed: int = 42,
         dtype=np.float32,
+        mode: str = "model_input",  # 'model_input' | 'sample'
     ):
         self.samples = list(samples)
         self.dimension = dimension
@@ -58,9 +59,28 @@ class AwesomeDataset:
         self.temporal = temporal
         self.split_seed = split_seed
         self.dtype = dtype
+        if mode not in ("model_input", "sample"):
+            raise ValueError(f"Unknown mode {mode}")
+        # 'sample' emits the raw per-image record dict instead of the
+        # assembled model input (`awesome/dataset/awesome_dataset.py:37,72`;
+        # eval handles flip this via TemporaryProperty in the reference)
+        self.mode = mode
 
     def __len__(self) -> int:
         return len(self.samples)
+
+    def _raw_sample(self, index: int) -> dict:
+        s = self.samples[index]
+        scribble = np.full(s.gt.shape, 2, np.int32)
+        scribble[s.bg_mask] = 1
+        scribble[s.fg_mask] = 0
+        return {
+            "image": s.image,
+            "label": s.gt,
+            "mask": scribble,
+            "name": f"img_{getattr(s, 'index', index)}",
+            "clean_image": s.image,
+        }
 
     def _features(self, s, index: int) -> np.ndarray:
         img = s.image
@@ -92,7 +112,9 @@ class AwesomeDataset:
             )
         return lbl[:, None].astype(self.dtype)
 
-    def __getitem__(self, index: int) -> AwesomeSample:
+    def __getitem__(self, index: int) -> Any:
+        if self.mode == "sample":
+            return self._raw_sample(index)
         s = self.samples[index]
         feats = self._features(s, index)
         h, w = s.gt.shape

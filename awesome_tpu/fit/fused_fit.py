@@ -45,6 +45,8 @@ def make_fused_fit_fn(
     kwargs = {"interpret": interpret}
     if tile_n is not None:
         kwargs["tile_n"] = tile_n
+    if cfg.compute_dtype is not None:
+        kwargs["use_bf16"] = True  # bf16 matmul inputs, f32 accum/master
     fused = make_flagship_loss_grad(model, use_sigmoid=cfg.use_sigmoid,
                                     **kwargs)
     init_fn, update_fn = {

@@ -204,7 +204,7 @@ def _mask_col(i: int):
 
 
 def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
-            use_sigmoid: bool,
+            use_sigmoid: bool, use_bf16: bool,
             x_ref, tgt_ref, wpt_ref,
             pre_a_ref, pre_b_ref, post_a_ref, post_b_ref,
             *refs):
@@ -239,6 +239,14 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
                 ref[idx] = ref[idx] + val
 
     f32 = jnp.float32
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    def mm(a, b):
+        """All matmuls route here: optional bf16 inputs (2x MXU packing on
+        the K dimension — ICNN K=130 halves its passes), f32 accumulation."""
+        return jnp.dot(a.astype(cdt), b.astype(cdt),
+                       preferred_element_type=f32)
+
     x = x_ref[...]  # (2, T)
     tgt = tgt_ref[...]  # (1, T)
     wpt = wpt_ref[...]  # (1, T)
@@ -262,7 +270,7 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         b = _mask_col(i)
         zm = z * b
         h = jnp.maximum(
-            jnp.dot(w["w1"][i], zm, preferred_element_type=f32)
+            mm(w["w1"][i], zm)
             + w["b1"][i], 0.0,
         )  # (2*hidden, T)
         h_saved.append(h)
@@ -270,7 +278,7 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         # [s(2) | t(2)] in ONE matmul (the step is issue-bound; zeros in
         # the off-blocks are free, their grads are masked in the bwd)
         st = (
-            jnp.dot(w["w2"][i], h, preferred_element_type=f32) + w["b2"][i]
+            mm(w["w2"][i], h) + w["b2"][i]
         )  # (4, T)
         if use_tanh:
             st = jnp.tanh(st)
@@ -283,23 +291,23 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
     # ---- forward: inverse norm + ICNN ----
     xd = z * post_a_ref[...] + post_b_ref[...]
     pre_acts = []
-    h = jnp.dot(w["win"][...], xd, preferred_element_type=f32) + w["bin"][...]
+    h = mm(w["win"][...], xd) + w["bin"][...]
     pre_acts.append(h)
     h = jnp.maximum(h, 0.0)
     acts = [h]
     for i in range(n_layers):
         zl = (
-            jnp.dot(w["wln"][i], h, preferred_element_type=f32)
+            mm(w["wln"][i], h)
             + w["bln"][i]
-            + jnp.dot(w["wsk"][i], xd, preferred_element_type=f32)
+            + mm(w["wsk"][i], xd)
         )
         pre_acts.append(zl)
         h = jnp.maximum(zl, 0.0)
         acts.append(h)
     y = (
-        jnp.dot(w["wout"][...], h, preferred_element_type=f32)
+        mm(w["wout"][...], h)
         + w["bout"][...]
-        + jnp.dot(w["wosk"][...], xd, preferred_element_type=f32)
+        + mm(w["wosk"][...], xd)
     )  # (1, T)
 
     # ---- loss + dL/dy ----
@@ -315,22 +323,22 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
 
     # ---- backward: ICNN ----
     h_last = acts[-1]
-    acc(d["wout"], jnp.dot(g, h_last.T, preferred_element_type=f32))
+    acc(d["wout"], mm(g, h_last.T))
     acc(d["bout"], jnp.sum(g, axis=1, keepdims=True))
-    acc(d["wosk"], jnp.dot(g, xd.T, preferred_element_type=f32))
-    dh = jnp.dot(w["wout"][...].T, g, preferred_element_type=f32)
-    dxd = jnp.dot(w["wosk"][...].T, g, preferred_element_type=f32)
+    acc(d["wosk"], mm(g, xd.T))
+    dh = mm(w["wout"][...].T, g)
+    dxd = mm(w["wosk"][...].T, g)
     for i in reversed(range(n_layers)):
         dz = dh * (pre_acts[i + 1] > 0.0)
-        acc(d["wln"], jnp.dot(dz, acts[i].T, preferred_element_type=f32), i)
+        acc(d["wln"], mm(dz, acts[i].T), i)
         acc(d["bln"], jnp.sum(dz, axis=1, keepdims=True), i)
-        acc(d["wsk"], jnp.dot(dz, xd.T, preferred_element_type=f32), i)
-        dh = jnp.dot(w["wln"][i].T, dz, preferred_element_type=f32)
-        dxd = dxd + jnp.dot(w["wsk"][i].T, dz, preferred_element_type=f32)
+        acc(d["wsk"], mm(dz, xd.T), i)
+        dh = mm(w["wln"][i].T, dz)
+        dxd = dxd + mm(w["wsk"][i].T, dz)
     dz0 = dh * (pre_acts[0] > 0.0)
-    acc(d["win"], jnp.dot(dz0, xd.T, preferred_element_type=f32))
+    acc(d["win"], mm(dz0, xd.T))
     acc(d["bin"], jnp.sum(dz0, axis=1, keepdims=True))
-    dxd = dxd + jnp.dot(w["win"][...].T, dz0, preferred_element_type=f32)
+    dxd = dxd + mm(w["win"][...].T, dz0)
 
     # ---- backward: inverse norm, then the flow chain ----
     # block mask for the merged second layer: rows [s|t] x cols [hs|ht]
@@ -365,15 +373,15 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         # off-block grads are nonzero algebraically but the stored weights
         # there are exactly 0 and must stay 0 — mask them out
         acc(d["w2"],
-            jnp.dot(d_st, h.T, preferred_element_type=f32) * w2_mask, i)
+            mm(d_st, h.T) * w2_mask, i)
         acc(d["b2"], jnp.sum(d_st, axis=1, keepdims=True), i)
         dh_all = (
-            jnp.dot(w["w2"][i].T, d_st, preferred_element_type=f32)
+            mm(w["w2"][i].T, d_st)
             * (h > 0.0)
         )
-        acc(d["w1"], jnp.dot(dh_all, zm.T, preferred_element_type=f32), i)
+        acc(d["w1"], mm(dh_all, zm.T), i)
         acc(d["b1"], jnp.sum(dh_all, axis=1, keepdims=True), i)
-        dzm = jnp.dot(w["w1"][i].T, dh_all, preferred_element_type=f32)
+        dzm = mm(w["w1"][i].T, dh_all)
         gz = b * gz + inv_b * gz * es + b * dzm
 
     # ---- backward: norm pre-affine + translation ----
@@ -383,11 +391,14 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
 
 
 def make_flagship_loss_grad(model, use_sigmoid: bool = True,
-                            tile_n: int = TILE_N, interpret: bool = False):
+                            tile_n: int = TILE_N, interpret: bool = False,
+                            use_bf16: bool = False):
     """Build ``f(packed, x, target, point_weights) -> (loss, packed_grads)``
     — the fused value_and_grad of the flagship objective.
 
     x: (N, 2) points; target/point_weights: (N, 1). All f32.
+    ``use_bf16``: matmul inputs cast to bf16 (f32 accumulation) — 2x MXU
+    K-packing on the ICNN's K=130 dots; master params stay f32.
     """
     if not flagship_supported(model):
         raise ValueError("model not in the fused flagship family")
@@ -399,7 +410,7 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
     pre_a, pre_b, post_a, post_b = _norm_constants(model)
 
     kern = functools.partial(
-        _kernel, n_flows, n_layers, hidden, use_tanh, use_sigmoid
+        _kernel, n_flows, n_layers, hidden, use_tanh, use_sigmoid, use_bf16
     )
 
     def f(packed, x, target, point_weights):

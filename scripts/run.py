@@ -43,6 +43,9 @@ def main(cfg) -> None:
     runner = AwesomeRunner(cfg)
     runner.build()
     runner.store_config()
+    if cfg.do_pretraining:
+        logging.info("Pretraining (prior fit) ...")
+        runner.pretrain()
     logging.info("Training %s (%d images, %d epochs)",
                  cfg.run_name, len(runner.samples), cfg.num_epochs)
     runner.train()

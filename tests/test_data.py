@@ -243,3 +243,23 @@ def test_scribble_image_and_sisbosi_depth():
     si_d = ScribbleImage(image=samples[0].image, gt=samples[0].gt,
                          scribble=scribble, xy_mode="distance_scribble")
     assert si_d.xy.shape[-1] == 2  # per-class EDT channels (fg, bg)
+
+
+def test_awesome_dataset_sample_mode():
+    """mode='sample' emits the raw per-image record instead of model
+    inputs (`awesome/dataset/awesome_dataset.py:37,72`)."""
+    import numpy as np
+
+    from awesome_tpu.data.awesome_dataset import AwesomeDataset
+    from awesome_tpu.data.synthetic import synthetic_convexity_dataset
+
+    samples = synthetic_convexity_dataset(n=2, h=16, w=16)
+    ds = AwesomeDataset(samples, mode="sample")
+    rec = ds[0]
+    assert set(rec) == {"image", "label", "mask", "name", "clean_image"}
+    assert rec["mask"].shape == (16, 16)
+    assert set(np.unique(rec["mask"])) <= {0, 1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AwesomeDataset(samples, mode="weird")
