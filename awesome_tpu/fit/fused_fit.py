@@ -34,14 +34,19 @@ Params = Any
 def make_fused_fit_fn(
     model,
     cfg: FitConfig,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     tile_n: Optional[int] = None,
 ) -> Callable:
     """Build ``fit(params, points, target_points, active=True) ->
     (params, aux)`` with the fused kernel. Same contract as
-    ``prior_fit.make_fit_fn`` (standard param trees in and out)."""
+    ``prior_fit.make_fit_fn`` (standard param trees in and out).
+
+    ``interpret=None`` auto-selects: compiled on TPU, Pallas interpreter
+    elsewhere (so ``FitConfig(fused=True)`` is safe in CPU tests)."""
     if not flagship_supported(model):
         raise ValueError("model not supported by the fused flagship kernel")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     kwargs = {"interpret": interpret}
     if tile_n is not None:
         kwargs["tile_n"] = tile_n

@@ -64,3 +64,33 @@ def test_fused_fit_quality_small():
     prob = jax.nn.sigmoid(model.apply(fitted, pts))
     score = float(iou(prob > 0.5, target > 0.5, invert=True))
     assert score > 0.9, (score, float(aux["loss_hist"][-1]))
+
+
+def test_fused_sequential_warm_start():
+    """FitConfig(fused=True) drives the sequential (reuse_state) engine —
+    the reference's actual per-image pretrain protocol — with interpret
+    auto-selected off-TPU."""
+    import dataclasses
+
+    from awesome_tpu.fit.prior_fit import fit_priors_sequential
+
+    h = w = 12
+    model = real_nvp_path_connected_net(
+        channels=2, hidden_units=8, flow_n_flows=2, flow_output_fn="tanh",
+        spatial_shape=(h, w), convex_net_hidden_units=8,
+        convex_net_hidden_layers=1,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    pts = G.flatten_grid(G.pixel_grid((h, w)))
+    yy, xx = np.mgrid[0:h, 0:w]
+    fg = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2) <= (h / 3) ** 2
+    target = jnp.asarray(1.0 - fg.astype(np.float32)).reshape(-1, 1)
+    targets = jnp.stack([target] * 3)
+    cfg = FitConfig(num_steps=20, lr=1e-3, fused=True, nan_guard_grads=False)
+    warm = dataclasses.replace(cfg, num_steps=8)
+    stacked, aux = fit_priors_sequential(
+        model, params, pts, targets, cfg, warm_cfg=warm
+    )
+    leaves = jax.tree_util.tree_leaves(stacked)
+    assert leaves[0].shape[0] == 3
+    assert np.isfinite(np.asarray(aux["first_aux"]["loss_hist"])).all()
