@@ -70,9 +70,15 @@ def joint_train_init(
     num_images: int,
     cfg: JointTrainConfig,
     seg_init=None,
+    prior_init=None,
 ) -> JointTrainState:
     """Build the train state: seg params + stacked per-image prior params
-    (the prior cache as a device array, `awesome/util/prior_cache.py:10`)."""
+    (the prior cache as a device array, `awesome/util/prior_cache.py:10`).
+
+    ``prior_init``: pre-fitted stacked prior params (the pretrain state the
+    reference loads before joint training, `agent/torch_agent.py:569-607`);
+    fresh per-image inits otherwise.
+    """
     k_seg, k_prior = jax.random.split(key)
     if seg_init is not None:
         seg_params, seg_state = seg_init
@@ -81,8 +87,11 @@ def joint_train_init(
     else:
         seg_params, seg_state = wrapper.segmentation_module.init(k_seg), None
     seg_opt = _optim(cfg.optimizer)[0](seg_params)
-    prior_keys = jax.random.split(k_prior, num_images)
-    prior_params = jax.vmap(wrapper.prior_module.init)(prior_keys)
+    if prior_init is not None:
+        prior_params = prior_init
+    else:
+        prior_keys = jax.random.split(k_prior, num_images)
+        prior_params = jax.vmap(wrapper.prior_module.init)(prior_keys)
     prior_opt = jax.vmap(_optim(cfg.prior_optimizer)[0])(prior_params)
     return JointTrainState(
         seg_params=seg_params,

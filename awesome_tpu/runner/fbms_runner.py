@@ -194,6 +194,126 @@ class FBMSRunner:
         }
 
     # --- joint UNet + per-frame prior training ---------------------------
+    def _joint_prior_model(self):
+        """The joint mode's per-frame 2-channel (x, y) prior (the (x, y, t)
+        shared prior is the spatio-temporal mode; reference joint configs
+        use channels: 2)."""
+        from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+        c = self.config
+        return real_nvp_path_connected_net(
+            channels=2,
+            hidden_units=c.prior_hidden_units,
+            flow_n_flows=c.prior_flows,
+            flow_output_fn="tanh",
+            spatial_shape=self.shape,
+            convex_net_hidden_units=c.convex_hidden_units,
+            convex_net_hidden_layers=c.convex_hidden_layers,
+        )
+
+    def _joint_frame_targets(self) -> np.ndarray:
+        """Dense (T, H, W, 1) weak-unary targets (unlabeled -> bg)."""
+        t = len(self.dataset)
+        h, w = self.shape
+        targets = np.ones((t, h, w, 1), np.float32)
+        for i in range(t):
+            s = self.dataset.sample(i)
+            targets[i, :, :, 0] = np.where(s["labeled"], s["unaries"], 1.0)
+        return targets
+
+    def pretrain_joint_priors(
+        self,
+        num_steps: int = 2000,
+        reuse_state_steps: int = 400,
+        lr: float = 1e-3,
+        seed: int = 0,
+        fused: Optional[bool] = None,
+    ) -> Dict:
+        """The reference's per-image prior pretrain BEFORE joint training
+        (`agent/torch_agent.py:553-607` + `path_connected_net.py:730-1008`
+        reuse_state semantics: cold fit on frame 0, warm-start fits on the
+        rest): one compiled sequential sweep, fused Pallas step on TPU.
+        The result seeds ``train_joint`` (``joint_prior_init``)."""
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.core import grids as G
+        from awesome_tpu.fit.prior_fit import (
+            FitConfig,
+            fit_priors_sequential,
+        )
+
+        if fused is None:
+            fused = jax.default_backend() in ("tpu", "axon")
+        model = self._joint_prior_model()
+        params = model.init(jax.random.PRNGKey(seed))
+        pts = G.flatten_grid(G.pixel_grid(self.shape))
+        targets = self._joint_frame_targets().reshape(
+            len(self.dataset), -1, 1
+        )
+        cfg = FitConfig(num_steps=num_steps, lr=lr, fused=fused,
+                        nan_guard_grads=False)
+        import dataclasses as _dc
+
+        warm = _dc.replace(cfg, num_steps=reuse_state_steps)
+        stacked, aux = fit_priors_sequential(
+            model, params, pts, jnp.asarray(targets), cfg, warm_cfg=warm
+        )
+        self.joint_prior_init = stacked
+        return {
+            "cold_loss": float(
+                np.asarray(aux["first_aux"]["loss_hist"])[-1]
+            ),
+        }
+
+    def evaluate_joint(self) -> Dict[str, float]:
+        """Seg + prior IoU of the trained joint model on GT frames.
+        Spec: `run/handles.py:339-477` get_compute_eval_metrics for the
+        joint pipeline."""
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.core import grids as G
+        from awesome_tpu.core import tree as T
+        from awesome_tpu.data.image_sample import edge_map
+        from awesome_tpu.measures.metrics import iou
+
+        state = self.joint_state
+        wrapper = self.joint_wrapper
+        h, w = self.shape
+        grid = G.flatten_grid(G.pixel_grid((h, w)))
+        seg_ious, prior_ious = [], []
+        for idx in self.dataset.get_ground_truth_indices():
+            gt = self.dataset.load_ground_truth(idx)
+            if gt is None:
+                continue
+            img = jnp.asarray(
+                self.dataset.load_frame(idx)[None].astype(np.float32)
+            )
+            ft = jnp.asarray(
+                edge_map(np.asarray(img[0]))[None, ..., None]
+            )
+            prior_i = T.tree_select(state.prior_params, idx)
+            out, _ = wrapper.apply(
+                {"seg": state.seg_params, "prior": prior_i},
+                img, features=ft, grid=grid,
+                seg_state=state.seg_state, train=False,
+            )
+            seg = np.asarray(out[0, :, :, 0])
+            prior = np.asarray(out[0, :, :, 1])
+            gt_fg = np.asarray(gt) < 0.5
+            seg_ious.append(float(iou(
+                jnp.asarray(seg < 0.5), jnp.asarray(gt_fg))))
+            prior_ious.append(float(iou(
+                jnp.asarray(prior < 0.5), jnp.asarray(gt_fg))))
+        return {
+            "MeanForegroundBinaryMIOU": float(np.mean(seg_ious))
+            if seg_ious else 0.0,
+            "PriorMeanForegroundBinaryMIOU": float(np.mean(prior_ious))
+            if prior_ious else 0.0,
+            "num_gt_frames": len(seg_ious),
+        }
+
     def train_joint(
         self,
         num_epochs: int = 15,
@@ -241,28 +361,9 @@ class FBMSRunner:
         feats = np.stack(
             [edge_map(images[i])[..., None] for i in range(t)]
         ).astype(np.float32)
-        targets = np.ones((t, h, w, 1), np.float32)
-        for i in range(t):
-            s = self.dataset.sample(i)
-            targets[i, :, :, 0] = np.where(
-                s["labeled"], s["unaries"], 1.0
-            )
+        targets = self._joint_frame_targets()
 
-        # joint mode uses per-frame 2-channel (x, y) priors (the (x, y, t)
-        # shared prior is the spatio-temporal mode; reference joint configs
-        # use channels: 2)
-        from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
-
-        c = self.config
-        joint_prior = real_nvp_path_connected_net(
-            channels=2,
-            hidden_units=c.prior_hidden_units,
-            flow_n_flows=c.prior_flows,
-            flow_output_fn="tanh",
-            spatial_shape=self.shape,
-            convex_net_hidden_units=c.convex_hidden_units,
-            convex_net_hidden_layers=c.convex_hidden_layers,
-        )
+        joint_prior = self._joint_prior_model()
         wrapper = WrapperModule(
             segmentation_module=UNet(in_chn=4, out_chn=1),
             prior_module=joint_prior,
@@ -278,7 +379,10 @@ class FBMSRunner:
             alpha=alpha, beta=beta,
             train_segmentation=train_segmentation,
         )
-        state = joint_train_init(wrapper, jax.random.PRNGKey(seed), t, cfg)
+        state = joint_train_init(
+            wrapper, jax.random.PRNGKey(seed), t, cfg,
+            prior_init=getattr(self, "joint_prior_init", None),
+        )
         epoch_fn = jax.jit(make_joint_epoch_fn(wrapper, cfg))
 
         data = {
