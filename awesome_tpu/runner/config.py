@@ -232,8 +232,13 @@ class AwesomeConfig(Config):
 
     # pretraining (prior fit)
     do_pretraining: bool = True
+    force_pretrain: bool = False  # refit even when a state file exists
+    pretrain_only: bool = False  # stop after pretraining (agent_args)
     pretrain_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
     pretrain_state_path: Optional[str] = None
+    # warm-start the (shared) segmentation net from a saved pytree
+    # (`awesome/run/awesome_config.py` segmentation_model_state_dict_path)
+    segmentation_model_state_dict_path: Optional[str] = None
 
     # eval / outputs
     compute_metrics_during_training_nth_epoch: Optional[int] = 100

@@ -304,13 +304,44 @@ class AwesomeRunner(Runner):
             )
             self.stacked_params = jax.vmap(self.wrapper.init)(keys)
 
-        # train/val split over images (`awesome/dataset/separable_dataset.py`)
+        # train/val split over images (`awesome/dataset/separable_dataset.py`,
+        # incl. the persisted-indices file so reruns see the same split)
         from awesome_tpu.data.split import split_indices
 
         split_ratio = float(self.config.dataset_args.get("split_ratio", 1.0))
         self.train_indices, self.val_indices = split_indices(
-            len(self.samples), split_ratio, seed=self.config.seed
+            len(self.samples), split_ratio, seed=self.config.seed,
+            indices_file=self.config.dataset_args.get("indices_file"),
         )
+
+        # warm-start the segmentation net from a saved state when given
+        # (`torch_agent.py` segmentation_model_state_dict_path load)
+        sd_path = self.config.segmentation_model_state_dict_path
+        if sd_path:
+            from awesome_tpu.fit.checkpoint import load_pytree, pytree_exists
+
+            if pytree_exists(sd_path) and self.stacked_params is not None:
+                import jax.numpy as jnp
+
+                seg_template = jax.tree_util.tree_map(
+                    lambda x: x[0], self.stacked_params["seg"]
+                )
+                loaded = load_pytree(sd_path, template=seg_template)
+                self.stacked_params = dict(
+                    self.stacked_params,
+                    seg=jax.tree_util.tree_map(
+                        lambda l, s: jnp.broadcast_to(l, s.shape).astype(
+                            s.dtype
+                        ),
+                        loaded,
+                        self.stacked_params["seg"],
+                    ),
+                )
+            elif not pytree_exists(sd_path):
+                logger.warning(
+                    "segmentation_model_state_dict_path %s missing; "
+                    "keeping fresh init", sd_path,
+                )
 
         from awesome_tpu.fit.tracker import Tracker
 
@@ -421,7 +452,9 @@ class AwesomeRunner(Runner):
         state_path = cfg.pretrain_state_path or os.path.join(
             self.output_folder, "pretrain_state"
         )
-        if pytree_exists(state_path):
+        # force_pretrain: refit even when a state exists
+        # (`agent/torch_agent.py:594` force_pretrain gate)
+        if not cfg.force_pretrain and pytree_exists(state_path):
             prior_stack = load_prior_cache(
                 state_path, template=self.stacked_params["prior"]
             )

@@ -46,6 +46,10 @@ def main(cfg) -> None:
     if cfg.do_pretraining:
         logging.info("Pretraining (prior fit) ...")
         runner.pretrain()
+        if cfg.pretrain_only:
+            out = runner.save_results()
+            logging.info("pretrain_only: results in %s", out)
+            return
     logging.info("Training %s (%d images, %d epochs)",
                  cfg.run_name, len(runner.samples), cfg.num_epochs)
     runner.train()

@@ -148,3 +148,60 @@ def test_segmentation_training_mode_multi_shares_seg(tmp_path):
     assert seg_leaf.shape[0] != 3 or seg_leaf.ndim == 1
     metrics = runner.evaluate()
     assert 0.0 <= metrics["MeanForegroundBinaryMIOU"] <= 1.0
+
+
+def test_force_pretrain_refits_despite_saved_state(tmp_path):
+    cfg = _config(tmp_path, do_pretraining=True,
+                  pretrain_args={"num_epochs": 20, "lr": 1e-2})
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    res = runner.pretrain()
+    assert res["loaded"] is False
+    cfg2 = _config(tmp_path, do_pretraining=True, force_pretrain=True,
+                   pretrain_state_path=res["path"],
+                   pretrain_args={"num_epochs": 20, "lr": 1e-2})
+    runner2 = AwesomeRunner(cfg2)
+    runner2.build()
+    res2 = runner2.pretrain()
+    assert res2["loaded"] is False  # refit, not loaded
+
+
+def test_segmentation_state_dict_warm_start(tmp_path):
+    import jax
+
+    from awesome_tpu.fit.checkpoint import save_pytree
+
+    r1 = AwesomeRunner(_config(tmp_path))
+    r1.build()
+    seg0 = jax.tree_util.tree_map(lambda x: x[0], r1.stacked_params["seg"])
+    sd = str(tmp_path / "seg_state")
+    save_pytree(seg0, sd)
+    r2 = AwesomeRunner(_config(tmp_path,
+                               segmentation_model_state_dict_path=sd))
+    r2.build()
+    import numpy as np
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r2.stacked_params["seg"]),
+        jax.tree_util.tree_leaves(r1.stacked_params["seg"]),
+    ):
+        # every image slot warm-started from r1's image-0 seg params
+        for i in range(a.shape[0]):
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b[0]),
+                                       atol=1e-7)
+
+
+def test_persisted_split_indices(tmp_path):
+    cfg = _config(tmp_path)
+    cfg.dataset_args["split_ratio"] = 0.67
+    cfg.dataset_args["indices_file"] = str(tmp_path / "split.json")
+    r1 = AwesomeRunner(cfg)
+    r1.build()
+    # a rerun with a different seed still reads the persisted split
+    cfg2 = _config(tmp_path, seed=99)
+    cfg2.dataset_args["split_ratio"] = 0.67
+    cfg2.dataset_args["indices_file"] = str(tmp_path / "split.json")
+    r2 = AwesomeRunner(cfg2)
+    r2.build()
+    assert r1.train_indices == r2.train_indices
+    assert r1.val_indices == r2.val_indices
