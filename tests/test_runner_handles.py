@@ -205,3 +205,33 @@ def test_persisted_split_indices(tmp_path):
     r2.build()
     assert r1.train_indices == r2.train_indices
     assert r1.val_indices == r2.val_indices
+
+
+def test_composable_handles_library(tmp_path):
+    """handles.py predicates + factories attach to the runner loop.
+    Spec: `awesome/run/handles.py:25-477`."""
+    from awesome_tpu.runner import handles as H
+
+    runner = AwesomeRunner(_config(tmp_path, num_epochs=40))
+    runner.build()
+    fired = []
+    runner.handles["epoch_processed"].append(
+        H.compute_eval_metrics_handle(
+            only_execute_on=H.callable_or(
+                H.only_nth_epoch(40), H.only_training_done()
+            )
+        )
+    )
+    runner.handles["epoch_processed"].append(
+        lambda r, e: fired.append(e)
+    )
+    runner.train()
+    assert fired  # custom handle ran each segment
+    # predicate semantics
+    p = H.callable_and(H.only_nth_epoch(20), H.only_nth_epoch(10))
+    assert p(runner, 40) and not p(runner, 10)
+    assert H.only_training_done()(runner, 40)
+    assert not H.only_training_done()(runner, 39)
+    runner.training_error = RuntimeError("x")
+    assert H.on_training_error(True)(runner)
+    assert not H.on_training_error(False)(runner)
