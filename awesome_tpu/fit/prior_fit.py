@@ -361,6 +361,67 @@ def fit_multi_object_priors(
     return unflat, aux
 
 
+def make_sequential_fit_fn(
+    model,
+    cfg: FitConfig,
+    warm_cfg: Optional[FitConfig] = None,
+    loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the reusable sequential (reuse_state) fit:
+    ``fit(init_params, points, stacked_targets, valid_mask=None) ->
+    (stacked_params, aux)``. Build ONCE and call many times — every call
+    of the convenience wrapper :func:`fit_priors_sequential` rebuilds the
+    closures and re-traces (the trace + remote-compile round trip can
+    dominate the actual fit time on the tunneled chip)."""
+    warm_cfg = warm_cfg or dataclasses.replace(cfg, num_steps=200)
+    cold_fit = jax.jit(make_fit_fn(model, cfg, loss_fn))
+    warm_fit = make_fit_fn(model, warm_cfg, loss_fn)
+
+    def body(carry, xs):
+        prev = carry
+        target, valid, pts = xs
+        fitted, aux = warm_fit(prev, pts, target, valid)
+        carry = T.tree_where(valid, fitted, prev)
+        return carry, (fitted, aux["lr_scale"])
+
+    @jax.jit
+    def warm_sweep(params0, targets, valid, pts):
+        # the whole warm-start sweep is ONE compiled program — a bare
+        # lax.scan outside jit would dispatch every step op eagerly
+        # (measured 25x slower before this was jitted)
+        return jax.lax.scan(body, params0, (targets, valid, pts))
+
+    def fit(init_params, points, stacked_targets, valid_mask=None):
+        batch = stacked_targets.shape[0]
+        if valid_mask is None:
+            valid_mask = jnp.ones((batch,), dtype=bool)
+        per_image_points = points.ndim == 3
+        pts0 = points[0] if per_image_points else points
+        params0, aux0 = cold_fit(
+            init_params, pts0, stacked_targets[0], valid_mask[0]
+        )
+        if batch > 1:
+            rest_pts = (
+                points[1:]
+                if per_image_points
+                else jnp.broadcast_to(points, (batch - 1,) + points.shape)
+            )
+            _, (rest_params, rest_scale) = warm_sweep(
+                params0, stacked_targets[1:], valid_mask[1:], rest_pts
+            )
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                params0,
+                rest_params,
+            )
+        else:
+            stacked = jax.tree_util.tree_map(lambda a: a[None], params0)
+            rest_scale = jnp.zeros((0,))
+        return stacked, {"first_aux": aux0, "warm_lr_scale": rest_scale}
+
+    return fit
+
+
 def fit_priors_sequential(
     model,
     init_params: Params,
@@ -377,47 +438,11 @@ def fit_priors_sequential(
     state and runs ``warm_cfg.num_steps`` (reuse_state_epochs). The whole
     sweep is ONE compiled scan over images.
 
-    Returns the stacked per-image fitted params and aux.
+    Returns the stacked per-image fitted params and aux. For repeated
+    calls, build :func:`make_sequential_fit_fn` once instead.
     """
-    warm_cfg = warm_cfg or dataclasses.replace(cfg, num_steps=200)
-    batch = stacked_targets.shape[0]
-    if valid_mask is None:
-        valid_mask = jnp.ones((batch,), dtype=bool)
-    per_image_points = points.ndim == 3
-
-    cold_fit = make_fit_fn(model, cfg, loss_fn)
-    warm_fit = make_fit_fn(model, warm_cfg, loss_fn)
-
-    pts0 = points[0] if per_image_points else points
-    params0, aux0 = jax.jit(cold_fit)(
-        init_params, pts0, stacked_targets[0], valid_mask[0]
-    )
-
-    def body(carry, xs):
-        prev = carry
-        target, valid, pts = xs
-        fitted, aux = warm_fit(prev, pts, target, valid)
-        carry = T.tree_where(valid, fitted, prev)
-        return carry, (fitted, aux["lr_scale"])
-
-    if batch > 1:
-        rest_pts = (
-            points[1:]
-            if per_image_points
-            else jnp.broadcast_to(points, (batch - 1,) + points.shape)
-        )
-        _, (rest_params, rest_scale) = jax.lax.scan(
-            body, params0, (stacked_targets[1:], valid_mask[1:], rest_pts)
-        )
-        stacked = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a[None], b], axis=0),
-            params0,
-            rest_params,
-        )
-    else:
-        stacked = jax.tree_util.tree_map(lambda a: a[None], params0)
-        rest_scale = jnp.zeros((0,))
-    return stacked, {"first_aux": aux0, "warm_lr_scale": rest_scale}
+    fit = make_sequential_fit_fn(model, cfg, warm_cfg, loss_fn)
+    return fit(init_params, points, stacked_targets, valid_mask)
 
 
 # --- prefits -------------------------------------------------------------
