@@ -265,15 +265,15 @@ def fit_priors_batched(
     if valid_mask is None:
         valid_mask = jnp.ones((batch,), dtype=bool)
 
-    vfit = jax.vmap(fit, in_axes=in_axes)
+    vfit = jax.jit(jax.vmap(fit, in_axes=in_axes))
     fitted, aux = vfit(stacked_params, points, stacked_targets, valid_mask)
 
     gate = jnp.ones((batch,), dtype=bool)
     if cfg.gate_threshold is not None:
-        vgate = jax.vmap(
+        vgate = jax.jit(jax.vmap(
             lambda p, x, t: _gate_iou(model, p, x, t, cfg),
             in_axes=(0, 0 if per_image_points else None, 0),
-        )
+        ))
         scores = vgate(fitted, points, stacked_targets)
         gate = scores >= cfg.gate_threshold
         aux["gate_iou"] = scores
@@ -282,7 +282,7 @@ def fit_priors_batched(
             fresh = jax.vmap(model.init)(retry_keys)
             refit_cfg = dataclasses.replace(cfg, gate_threshold=None)
             refit = make_fit_fn(model, refit_cfg, loss_fn)
-            refitted, _ = jax.vmap(refit, in_axes=in_axes)(
+            refitted, _ = jax.jit(jax.vmap(refit, in_axes=in_axes))(
                 fresh, points, stacked_targets, failed
             )
             retry_scores = vgate(refitted, points, stacked_targets)
@@ -492,9 +492,11 @@ def learn_flow_identity(
         )
         return (fp, opt_state), loss
 
-    (flow_params, _), hist = jax.lax.scan(
-        step, (params["flow"], opt_state), None, length=max_iter
-    )
+    @jax.jit
+    def run(fp, opt_state):
+        return jax.lax.scan(step, (fp, opt_state), None, length=max_iter)
+
+    (flow_params, _), hist = run(params["flow"], opt_state)
     return dict(params, flow=flow_params), hist
 
 
@@ -556,7 +558,9 @@ def learn_convex_net(
         )
         return (cp, opt_state), loss
 
-    (convex_params, _), hist = jax.lax.scan(
-        step, (params["convex"], opt_state), None, length=max_iter
-    )
+    @jax.jit
+    def run(cp, opt_state):
+        return jax.lax.scan(step, (cp, opt_state), None, length=max_iter)
+
+    (convex_params, _), hist = run(params["convex"], opt_state)
     return dict(params, convex=convex_params), hist

@@ -111,9 +111,16 @@ def fit_spatiotemporal_prior(
 
     opt_state = init_fn(params)
     sched = optim.plateau_init()
-    (params, _, sched), epoch_losses = jax.lax.scan(
-        epoch_step, (params, opt_state, sched), None, length=epochs
-    )
+
+    @jax.jit
+    def run(params, opt_state, sched):
+        # one compiled program for the whole epochs x frames double scan —
+        # a bare lax.scan outside jit dispatches every step op eagerly
+        return jax.lax.scan(
+            epoch_step, (params, opt_state, sched), None, length=epochs
+        )
+
+    (params, _, sched), epoch_losses = run(params, opt_state, sched)
     return params, {"epoch_loss": epoch_losses, "lr_scale": sched.scale}
 
 
