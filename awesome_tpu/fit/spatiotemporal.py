@@ -43,6 +43,83 @@ def make_frame_weights(targets, labeled, cfg: FitConfig):
     return jax.vmap(one)(targets, labeled)
 
 
+def make_spatiotemporal_fit_fn(
+    model,
+    cfg: FitConfig,
+    num_epochs: Optional[int] = None,
+):
+    """Build the reusable jitted spatio-temporal fit:
+    ``fit(params, frame_points, frame_targets, labeled_masks) ->
+    (params, aux)``. Build ONCE for repeated fits — the convenience
+    wrapper below re-traces per call."""
+    epochs = num_epochs if num_epochs is not None else cfg.num_steps
+
+    init_fn, update_fn = (
+        (optim.adamax_init, optim.adamax_update)
+        if cfg.optimizer == "adamax"
+        else (optim.adam_init, optim.adam_update)
+    )
+    has_clip = hasattr(model, "enforce_convexity")
+
+    def loss_fn(p, pts, tgt, w):
+        prob = jax.nn.sigmoid(model.apply(p, pts))
+        return jnp.sum(w * (prob - tgt) ** 2)
+
+    vg = jax.value_and_grad(loss_fn)
+
+    def fit(params, frame_points, frame_targets, labeled_masks=None):
+        t_frames = frame_targets.shape[0]
+        if labeled_masks is None:
+            labeled_masks = jnp.ones(frame_targets.shape[:2], bool)
+        weights = make_frame_weights(frame_targets, labeled_masks, cfg)
+        wd_tree = make_weight_decay_tree(model, params, cfg)
+        pts = (
+            frame_points
+            if frame_points.ndim == 3
+            else jnp.broadcast_to(
+                frame_points, (t_frames,) + frame_points.shape
+            )
+        )
+
+        def frame_step(carry, xs):
+            p, opt_state, sched = carry
+            fpts, tgt, w = xs
+            loss, grads = vg(p, fpts, tgt, w)
+            lr = cfg.lr * sched.scale
+            new_p, new_opt = update_fn(p, grads, opt_state, lr,
+                                       weight_decay=wd_tree)
+            if has_clip:
+                new_p = model.enforce_convexity(new_p)
+            ok = jnp.isfinite(loss)
+            p = T.tree_where(ok, new_p, p)
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+            )
+            return (p, opt_state, sched), loss
+
+        def epoch_step(carry, _):
+            p, opt_state, sched = carry
+            (p, opt_state, sched), losses = jax.lax.scan(
+                frame_step, (p, opt_state, sched),
+                (pts, frame_targets, weights),
+            )
+            epoch_loss = losses.mean()
+            sched = optim.plateau_update(
+                sched, epoch_loss, factor=cfg.plateau_factor,
+                patience=cfg.plateau_patience,
+            )
+            return (p, opt_state, sched), epoch_loss
+
+        opt_state = init_fn(params)
+        sched = optim.plateau_init()
+        (params, _, sched), epoch_losses = jax.lax.scan(
+            epoch_step, (params, opt_state, sched), None, length=epochs
+        )
+        return params, {"epoch_loss": epoch_losses, "lr_scale": sched.scale}
+
+    return jax.jit(fit)
+
+
 def fit_spatiotemporal_prior(
     model,
     params: Params,
@@ -52,76 +129,10 @@ def fit_spatiotemporal_prior(
     cfg: FitConfig,
     num_epochs: Optional[int] = None,
 ) -> Tuple[Params, dict]:
-    """Returns (fitted shared params, aux with per-epoch loss)."""
-    epochs = num_epochs if num_epochs is not None else cfg.num_steps
-    t_frames = frame_targets.shape[0]
-    if labeled_masks is None:
-        labeled_masks = jnp.ones(frame_targets.shape[:2], bool)
-    weights = make_frame_weights(frame_targets, labeled_masks, cfg)
-    per_frame_pts = frame_points.ndim == 3
-
-    init_fn, update_fn = (
-        (optim.adamax_init, optim.adamax_update)
-        if cfg.optimizer == "adamax"
-        else (optim.adam_init, optim.adam_update)
-    )
-    wd_tree = make_weight_decay_tree(model, params, cfg)
-    has_clip = hasattr(model, "enforce_convexity")
-
-    def loss_fn(p, pts, tgt, w):
-        prob = jax.nn.sigmoid(model.apply(p, pts))
-        return jnp.sum(w * (prob - tgt) ** 2)
-
-    vg = jax.value_and_grad(loss_fn)
-
-    def frame_step(carry, xs):
-        p, opt_state, sched = carry
-        pts, tgt, w = xs
-        loss, grads = vg(p, pts, tgt, w)
-        lr = cfg.lr * sched.scale
-        new_p, new_opt = update_fn(p, grads, opt_state, lr,
-                                   weight_decay=wd_tree)
-        if has_clip:
-            new_p = model.enforce_convexity(new_p)
-        ok = jnp.isfinite(loss)
-        p = T.tree_where(ok, new_p, p)
-        opt_state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
-        )
-        return (p, opt_state, sched), loss
-
-    def epoch_step(carry, _):
-        p, opt_state, sched = carry
-        pts = (
-            frame_points
-            if per_frame_pts
-            else jnp.broadcast_to(
-                frame_points, (t_frames,) + frame_points.shape
-            )
-        )
-        (p, opt_state, sched), losses = jax.lax.scan(
-            frame_step, (p, opt_state, sched), (pts, frame_targets, weights)
-        )
-        epoch_loss = losses.mean()
-        sched = optim.plateau_update(
-            sched, epoch_loss, factor=cfg.plateau_factor,
-            patience=cfg.plateau_patience,
-        )
-        return (p, opt_state, sched), epoch_loss
-
-    opt_state = init_fn(params)
-    sched = optim.plateau_init()
-
-    @jax.jit
-    def run(params, opt_state, sched):
-        # one compiled program for the whole epochs x frames double scan —
-        # a bare lax.scan outside jit dispatches every step op eagerly
-        return jax.lax.scan(
-            epoch_step, (params, opt_state, sched), None, length=epochs
-        )
-
-    (params, _, sched), epoch_losses = run(params, opt_state, sched)
-    return params, {"epoch_loss": epoch_losses, "lr_scale": sched.scale}
+    """Returns (fitted shared params, aux with per-epoch loss). For
+    repeated fits build :func:`make_spatiotemporal_fit_fn` once."""
+    fit = make_spatiotemporal_fit_fn(model, cfg, num_epochs)
+    return fit(params, frame_points, frame_targets, labeled_masks)
 
 
 def sequence_points(
