@@ -74,6 +74,15 @@ def load_reference_config(path: str) -> Tuple[AwesomeConfig, Dict[str, Any]]:
         data["dtype"] = _DTYPE_MAP.get(data["dtype"], "float32")
 
     names = {f.name for f in dataclasses.fields(AwesomeConfig)}
+    # the reference nests pretrain orchestration inside agent_args
+    # (`config/path-connectedness/joint/*.yaml` agent_args:
+    # do_pretraining/force_pretrain/pretrain_args/pretrain_state_path/
+    # pretrain_only) — lift the known keys into the schema
+    agent_args = data.get("agent_args")
+    if isinstance(agent_args, dict):
+        for key in list(agent_args):
+            if key in names and key not in data:
+                data[key] = agent_args.pop(key)
     known = {k: v for k, v in data.items() if k in names}
     extra = {k: v for k, v in data.items() if k not in names}
     cfg = AwesomeConfig(**known)

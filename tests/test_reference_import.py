@@ -53,3 +53,26 @@ def test_import_every_reference_config_parses():
         except Exception as e:  # noqa: BLE001
             failures.append((os.path.relpath(p, REF), repr(e)))
     assert not failures, failures[:5]
+
+
+def test_agent_args_pretrain_fields_lifted():
+    """The joint YAML nests pretrain orchestration in agent_args; the
+    importer lifts the schema-known keys so do_pretraining /
+    pretrain_args / pretrain_state_path are live config fields."""
+    import os
+
+    from awesome_tpu.runner.reference_import import load_reference_config
+
+    path = ("/root/reference/config/path-connectedness/joint/"
+            "UNET+cars3+edge+diffeo+original+joint.yaml")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference configs not present")
+    cfg, extra = load_reference_config(path)
+    assert cfg.do_pretraining is True
+    assert cfg.force_pretrain is False
+    assert cfg.pretrain_args["num_epochs"] == 4000
+    assert cfg.pretrain_args["reuse_state_epochs"] == 400
+    assert cfg.pretrain_state_path.endswith(".pth")
+    assert cfg.pretrain_only is False
