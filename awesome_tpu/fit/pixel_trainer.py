@@ -232,15 +232,19 @@ def shared_pixel_train_init(
     key,
     num_images: int,
     cfg: PixelTrainConfig,
+    params: Optional[Params] = None,
 ) -> PixelTrainState:
     """State for segmentation_training_mode='multi': ONE shared seg net +
-    stacked per-image priors (`awesome/run/awesome_config.py:98-106`)."""
+    stacked per-image priors (`awesome/run/awesome_config.py:98-106`).
+    ``params`` reuses an existing {'seg', 'prior'} tree (e.g. pretrained
+    priors) instead of fresh inits."""
     k_seg, k_prior = jax.random.split(key)
-    seg_params = wrapper.segmentation_module.init(k_seg)
-    params = {"seg": seg_params}
-    if wrapper.prior_module is not None:
-        prior_keys = jax.random.split(k_prior, num_images)
-        params["prior"] = jax.vmap(wrapper.prior_module.init)(prior_keys)
+    if params is None:
+        seg_params = wrapper.segmentation_module.init(k_seg)
+        params = {"seg": seg_params}
+        if wrapper.prior_module is not None:
+            prior_keys = jax.random.split(k_prior, num_images)
+            params["prior"] = jax.vmap(wrapper.prior_module.init)(prior_keys)
     init_fn, _ = _pixel_optim(cfg)
     return PixelTrainState(
         params=params,

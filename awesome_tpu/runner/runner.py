@@ -441,8 +441,20 @@ class AwesomeRunner(Runner):
         cfg = self.config
         if not cfg.do_pretraining:
             return None
-        if self.wrapper.prior_module is None or self.stacked_params is None:
+        if self.wrapper.prior_module is None:
             return None
+        if self.stacked_params is None:
+            # 'multi' mode builds its state lazily; create it now so the
+            # pretrain fits seed the shared-seg training
+            from awesome_tpu.fit.pixel_trainer import (
+                shared_pixel_train_init,
+            )
+
+            state = shared_pixel_train_init(
+                self.wrapper, jax.random.PRNGKey(cfg.seed),
+                len(self.samples), self._train_cfg(1),
+            )
+            self.stacked_params = state.params
         from awesome_tpu.fit.checkpoint import (
             load_prior_cache,
             pytree_exists,
@@ -468,9 +480,17 @@ class AwesomeRunner(Runner):
         px = jnp.asarray(b["px"])
         # unaries = current (untrained) segmentation output, thresholded —
         # `path_connected_net.py:832-855` (skip single-valued images)
-        seg = jax.vmap(
-            lambda p, x: self._forward_one(p, x, evaluate_prior=False)
-        )(self.stacked_params, px)
+        if cfg.segmentation_training_mode == "multi":
+            shared_seg = self.stacked_params["seg"]  # no image axis
+            seg = jax.vmap(
+                lambda x: self._forward_one(
+                    {"seg": shared_seg}, x, evaluate_prior=False
+                )
+            )(px)
+        else:
+            seg = jax.vmap(
+                lambda p, x: self._forward_one(p, x, evaluate_prior=False)
+            )(self.stacked_params, px)
         unaries = (np.asarray(seg) >= 0.5).astype(np.float32)
         valid = np.array(
             [len(np.unique(u)) > 1 for u in unaries[..., 0]], dtype=bool
@@ -586,6 +606,7 @@ class AwesomeRunner(Runner):
                 jax.random.PRNGKey(cfg.seed),
                 len(self.samples),
                 tcfg,
+                params=self.stacked_params,  # pretrained priors if any
             )
             self.stacked_params = state.params  # {'seg': shared, 'prior': B}
             segment = make_shared_pixel_segment_fn(self.wrapper, tcfg, seg_len)

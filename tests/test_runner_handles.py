@@ -235,3 +235,24 @@ def test_composable_handles_library(tmp_path):
     runner.training_error = RuntimeError("x")
     assert H.on_training_error(True)(runner)
     assert not H.on_training_error(False)(runner)
+
+
+def test_multi_mode_pretrain_seeds_shared_training(tmp_path):
+    """'multi' mode: pretrain builds the shared state, fits the stacked
+    priors, and train() reuses them instead of fresh inits."""
+    import jax
+
+    cfg = _config(tmp_path, segmentation_training_mode="multi",
+                  do_pretraining=True, num_epochs=20,
+                  pretrain_args={"num_epochs": 20, "lr": 1e-2})
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    res = runner.pretrain()
+    assert res is not None and res["loaded"] is False
+    pre_prior = jax.tree_util.tree_leaves(runner.stacked_params["prior"])[0]
+    runner.train()
+    # priors continued from the pretrained values (not re-initialized):
+    # finite + correct stacking
+    post_prior = jax.tree_util.tree_leaves(runner.stacked_params["prior"])[0]
+    assert post_prior.shape == pre_prior.shape
+    assert np.isfinite(np.asarray(post_prior)).all()
