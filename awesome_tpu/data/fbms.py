@@ -424,16 +424,30 @@ class FBMSSequenceDataset:
         return None
 
     def _load_confidence(self, index: int) -> Optional[np.ndarray]:
-        """Per-frame tracker confidence map, when present (.npy/.npz; the
-        reference reads h5 files from confidence_dir)."""
+        """Per-frame tracker confidence map, when present: the reference's
+        h5 files (key 'confidence', `fbms_sequence_sample.py:525`) or
+        .npy/.npz equivalents."""
         if self.confidence_dir is None:
             return None
         base = os.path.join(self.dataset_path, self.confidence_dir)
-        for name in (f"{index:04d}.npy", f"{index}.npy", f"{index:04d}.npz"):
+        stem = os.path.splitext(
+            os.path.basename(self.frames[index])
+        )[0]
+        candidates = [
+            f"{stem}.h5", f"{index:04d}.h5", f"{index}.h5",
+            f"{index:04d}.npy", f"{index}.npy", f"{index:04d}.npz",
+        ]
+        for name in candidates:
             p = os.path.join(base, name)
-            if os.path.exists(p):
-                data = np.load(p)
-                return data["confidence"] if hasattr(data, "files") else data
+            if not os.path.exists(p):
+                continue
+            if p.endswith(".h5"):
+                import h5py
+
+                with h5py.File(p, "r") as f:
+                    return np.asarray(f["confidence"])
+            data = np.load(p)
+            return data["confidence"] if hasattr(data, "files") else data
         return None
 
     def _weak_label(self, index: int, shape) -> Tuple[np.ndarray, np.ndarray]:

@@ -7,9 +7,10 @@ The ~15 event attachments of the reference become explicit phases of a
 compiled pipeline; per-image weight swapping becomes the stacked-params
 engine.
 
-Currently wired end-to-end for the pixel pipeline (convexity benchmark:
-per-image wrapper models, batched prior pretrain, AwesomeLoss training
-with extra-penalty phase, eval metrics). The image/joint pipeline uses
+Wired end-to-end for the pixel pipeline (per-image wrapper models,
+'single' mode), the image pipeline ('3d' dimension: conv seg nets on
+dense grids, gradient-penalty criteria) and the shared-seg 'multi'/'none'
+modes; the FBMS joint video pipeline lives in ``runner.fbms_runner`` on
 ``awesome_tpu.fit.trainer``.
 """
 from __future__ import annotations

@@ -263,3 +263,29 @@ def test_awesome_dataset_sample_mode():
 
     with _pytest.raises(ValueError):
         AwesomeDataset(samples, mode="weird")
+
+
+def test_fbms_h5_confidence_loading(tmp_path):
+    """Reference-format h5 confidence maps feed the uncertainty
+    re-labeling (`fbms_sequence_sample.py:525`)."""
+    import os
+
+    import h5py
+    import numpy as np
+
+    from awesome_tpu.data.fbms import FBMSSequenceDataset
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    conf_dir = os.path.join(seq, "conf")
+    os.makedirs(conf_dir)
+    ds = FBMSSequenceDataset(seq, confidence_dir="conf",
+                             do_weak_label_preprocessing=True)
+    h, w = ds.load_frame(0).shape[:2]
+    stem = os.path.splitext(os.path.basename(ds.frames[0]))[0]
+    with h5py.File(os.path.join(conf_dir, f"{stem}.h5"), "w") as f:
+        f.create_dataset("confidence", data=np.full((h, w), 0.9, np.float32))
+    c = ds._load_confidence(0)
+    assert c is not None and c.shape == (h, w)
+    s = ds.sample(0)  # preprocessing path consumes the confidence
+    assert np.isfinite(s["unaries"]).all()
