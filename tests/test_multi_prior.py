@@ -163,3 +163,37 @@ def test_star_shaped_is_star_shaped():
         if inside.any():
             last_inside = np.max(np.nonzero(inside)[0])
             assert inside[: last_inside + 1].all()
+
+
+def test_convex_in_depth_prior():
+    """Convex-in-(x, y, depth) prior (the convex-depth teaser notebook,
+    `notebooks/icml_teaser_code/convex-depth/convex.ipynb`): the same ICNN
+    family with a third input channel; sub-level sets stay convex in the
+    3D (x, y, d) space, so a fit recovers a ball from its noisy unaries."""
+    from awesome_tpu.fit.prior_fit import FitConfig, fit_prior
+    from awesome_tpu.measures.metrics import iou
+
+    n = 12
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n]
+    ball = ((zz - n / 2) ** 2 + (yy - n / 2) ** 2 + (xx - n / 2) ** 2) <= (
+        n / 3
+    ) ** 2
+    pts = np.stack([zz, yy, xx], -1).reshape(-1, 3) / n - 0.5
+    target = jnp.asarray(
+        1.0 - ball.reshape(-1, 1).astype(np.float32)
+    )
+    model = ConvexNextNet(n_hidden=24, n_hidden_layers=1, in_features=3)
+    params = model.init(jax.random.PRNGKey(0))
+    cfg = FitConfig(num_steps=300, lr=1e-2, fg_weight=0.5,
+                    nan_guard_grads=False)
+    fitted, _ = fit_prior(model, params, jnp.asarray(pts, jnp.float32),
+                          target, cfg)
+    prob = jax.nn.sigmoid(model.apply(fitted, jnp.asarray(pts, jnp.float32)))
+    score = float(iou(prob > 0.5, target > 0.5, invert=True))
+    assert score > 0.8, score
+    # convexity along a segment THROUGH the 3D space: f(mid) <= max(f(a), f(b))
+    a = jnp.asarray([[-0.4, -0.4, -0.4]], jnp.float32)
+    b = jnp.asarray([[0.4, 0.4, 0.4]], jnp.float32)
+    mid = (a + b) / 2
+    fa, fb, fm = (float(model.apply(fitted, p)[0, 0]) for p in (a, b, mid))
+    assert fm <= max(fa, fb) + 1e-5
