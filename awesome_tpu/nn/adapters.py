@@ -78,3 +78,20 @@ class NormNet(Module):
         if self.norm is not None:
             x = self.norm.inverse_transform(x)
         return x
+
+
+@dataclasses.dataclass(frozen=True)
+class PixelMatrixSeg(Module):
+    """Adapt an (image, grid)-signature segmentation net to pixel
+    matrices (N, C): rgb = the last 3 channels, the encoding channels go
+    in as the 'grid' — the functional form of the reference's ``pixelize``
+    flow around FCNet in 2d mode (`awesome/util/pixelize.py:7`,
+    `awesome/model/fc_net.py:10`)."""
+
+    base: Module
+
+    def init(self, key):
+        return self.base.init(key)
+
+    def apply(self, params, px, **kwargs):
+        return self.base.apply(params, px[:, -3:], px[:, :-3])

@@ -163,22 +163,25 @@ class AwesomeRunner(Runner):
             ]
         return self.samples
 
-    @staticmethod
-    def _seg_args(seg_cls, args: Dict[str, Any]) -> Dict[str, Any]:
+    def _seg_args(self, seg_cls, args: Dict[str, Any]) -> Dict[str, Any]:
         """Map reference seg-model args onto the TPU models: 'input' ->
-        in_type with derived channel count (`awesome/model/cnn_net.py:18-28`
-        rgb|xy|rgbxy concat)."""
+        in_type with the channel count derived from the dataset's xytype
+        encoding (`awesome/model/cnn_net.py:18-28` rgb|xy|rgbxy concat of
+        rgb(3) + the encoding channels)."""
         out = dict(args)
         in_type = out.pop("input", None)
         if in_type is not None:
             out["in_type"] = in_type
+        enc = self.XYTYPE_CHANNELS.get(self.xytype, 2)
         name = getattr(seg_cls, "__name__", "")
         if name in ("CNNNet", "FCNet") and "in_chn" not in out:
-            chn = {"rgb": 3, "xy": 2, "rgbxy": 5}.get(
-                out.get("in_type", "rgbxy"), 5
+            chn = {"rgb": 3, "xy": enc, "rgbxy": 3 + enc}.get(
+                out.get("in_type", "rgbxy"), 3 + enc
             )
             out.setdefault("in_chn", chn)
             out.setdefault("out_chn", 1)
+        if name == "Net":
+            out.setdefault("in_features", 3 + enc)
         import dataclasses as _dc
 
         if _dc.is_dataclass(seg_cls):
@@ -187,6 +190,7 @@ class AwesomeRunner(Runner):
         return out
 
     def build_models(self):
+        from awesome_tpu.nn.adapters import PixelMatrixSeg
         from awesome_tpu.nn.seg import Net
         from awesome_tpu.nn.icnn import ConvexNextNet
         from awesome_tpu.nn.wrapper import WrapperModule
@@ -195,8 +199,21 @@ class AwesomeRunner(Runner):
         if cfg.segmentation_model_type:
             seg_cls = dynamic_import(cfg.segmentation_model_type)
             seg = seg_cls(**self._seg_args(seg_cls, cfg.segmentation_model_args))
+            if not getattr(self, "image_mode", False) and (
+                seg_cls.__name__ == "FCNet"
+            ):
+                # FCNet in the 2d pipeline: adapt the (image, grid)
+                # signature to pixel matrices (reference pixelize flow)
+                seg = PixelMatrixSeg(seg)
+            elif not getattr(self, "image_mode", False) and (
+                seg_cls.__name__ == "CNNNet"
+            ):
+                raise ValueError(
+                    "CNNNet is convolutional; use dimension '3d' (image "
+                    "mode) in dataset_args"
+                )
         else:
-            seg = Net(**(cfg.segmentation_model_args or {}))
+            seg = Net(**self._seg_args(Net, cfg.segmentation_model_args or {}))
 
         prior = None
         if cfg.use_prior_model:
@@ -270,6 +287,7 @@ class AwesomeRunner(Runner):
             for s in self.samples:
                 px, gt = s.pixels(self.config.scribble_percentage,
                                   seed=self.config.seed)
+                px = self._encode_px(s, px)
                 n_scr = s.important_pixels()[0].shape[0]
                 gt_full = np.zeros((px.shape[0], 1), np.float32)
                 gt_full[: gt.shape[0]] = gt
@@ -351,6 +369,64 @@ class AwesomeRunner(Runner):
             primary_mode="val" if self.val_indices else "train",
         )
 
+    # --- xytype feature encodings -------------------------------------------
+    XYTYPE_CHANNELS = {"xy": 2, "feat": 2, "featxy": 4, "edge": 1,
+                       "edgexy": 3}
+
+    @property
+    def xytype(self) -> str:
+        return self.config.dataset_args.get("xytype", "xy")
+
+    def _encoding_map(self, s) -> Optional[np.ndarray]:
+        """Per-image (H, W, E) encoding replacing/extending the xy channels
+        per the dataset's ``xytype`` (`awesome/dataset/image_sample.py:111-127`
+        _get_xy): 'feat' = 2-ch PCA semantic features, 'featxy' = (xy, feat),
+        'edge' = Sobel edge map, 'edgexy' = (xy, edge). Returns None for
+        plain 'xy' (the default normalized grid). Without precomputed SSS
+        embedmaps (zero egress) the PCA falls back to the rgb image as the
+        embedding."""
+        xytype = self.xytype
+        if xytype == "xy":
+            return None
+        from awesome_tpu.data.image_sample import (
+            edge_map,
+            load_semantic_features,
+            semantic_features,
+        )
+
+        h, w = s.shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        xy = np.stack([yy / h - 0.5, xx / w - 0.5], -1).astype(np.float32)
+        if xytype in ("feat", "featxy"):
+            feat = None
+            feature_dir = self.config.dataset_args.get("feature_dir")
+            if feature_dir and os.path.isdir(feature_dir):
+                feat = load_semantic_features(
+                    feature_dir, f"img_{getattr(s, 'index', 0)}"
+                )
+            if feat is None:
+                feat = semantic_features(s.image)
+            return feat if xytype == "feat" else np.concatenate(
+                [xy, feat], -1
+            )
+        if xytype in ("edge", "edgexy"):
+            e = edge_map(s.image)[..., None].astype(np.float32)
+            return e if xytype == "edge" else np.concatenate([xy, e], -1)
+        raise ValueError(f"Unknown xytype {xytype}")
+
+    def _encode_px(self, s, px: np.ndarray) -> np.ndarray:
+        """Rewrite a (N, 5)=(y, x, r, g, b) pixel matrix to (N, E+3) with
+        the xytype encoding channels in front (prior consumes [0:2])."""
+        enc = self._encoding_map(s)
+        if enc is None:
+            return px
+        h, w = s.shape
+        iy = np.clip(np.round((px[:, 0] + 0.5) * h), 0, h - 1).astype(int)
+        ix = np.clip(np.round((px[:, 1] + 0.5) * w), 0, w - 1).astype(int)
+        return np.concatenate(
+            [enc[iy, ix], px[:, 2:5]], axis=-1
+        ).astype(np.float32)
+
     # --- forward dispatch ---------------------------------------------------
     def _forward_one(self, params, px, evaluate_prior: bool = True):
         """Per-image forward on a pixel matrix (N, 5)=(y,x,r,g,b) -> (N, C).
@@ -365,8 +441,8 @@ class AwesomeRunner(Runner):
         if not getattr(self, "image_mode", False):
             return self.wrapper.apply(params, px, evaluate_prior=evaluate_prior)
         h, w = self._shape
-        img = px[:, 2:5].reshape(1, h, w, 3)
-        grid_img = px[:, 0:2].reshape(1, h, w, 2)
+        img = px[:, -3:].reshape(1, h, w, 3)
+        grid_img = px[:, :-3].reshape(1, h, w, -1)
         seg = self.wrapper.segmentation_module.apply(
             params["seg"], img, grid_img
         )
@@ -789,7 +865,10 @@ class AwesomeRunner(Runner):
             norm = np.stack([yy / h - 0.5, xx / w - 0.5], -1).reshape(-1, 2)
             rgb = s.image.reshape(-1, 3)
             mats.append(
-                np.concatenate([norm, rgb], axis=-1).astype(np.float32)
+                self._encode_px(
+                    s,
+                    np.concatenate([norm, rgb], axis=-1).astype(np.float32),
+                )
             )
         n_max = max(m.shape[0] for m in mats)
         px = np.zeros((len(mats), n_max, mats[0].shape[1]), np.float32)

@@ -90,3 +90,36 @@ def test_joint_fbms_yaml_end_to_end(tmp_path):
 
     leaves = jax.tree_util.tree_leaves(runner.joint_state.prior_params)
     assert leaves[0].shape[0] == len(runner.dataset)
+
+
+@pytest.mark.parametrize("name,xytype", [
+    ("FCNET_benchmark+feat+convex.yaml", "feat"),
+    ("FCNET_benchmark+featxy+convex.yaml", "featxy"),
+    ("FCNET_benchmark+xy+convex.yaml", "xy"),
+])
+def test_fcnet_sequential_yaml_families(tmp_path, name, xytype):
+    """The FCNET sequential families (2d pixel mode, xytype feature
+    encodings incl. the feature-space convex prior) run end-to-end from
+    their unmodified YAMLs."""
+    cfg, extra = load_reference_config(
+        os.path.join(REF, "convexity/sequential", name)
+    )
+    assert cfg.segmentation_model_type == "awesome_tpu.nn.seg.FCNet"
+    assert cfg.dataset_args["xytype"] == xytype
+    assert cfg.dataset_args["dimension"] == "2d"
+    cfg.num_epochs = 20
+    cfg.compute_metrics_during_training_nth_epoch = 20
+    cfg.dataset_args["n"] = 2
+    cfg.dataset_args["h"] = cfg.dataset_args["w"] = 20
+    cfg.runs_path = str(tmp_path)
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    assert runner.image_mode is False
+    expected_enc = {"xy": 2, "feat": 2, "featxy": 4}[xytype]
+    assert runner._batch["px"].shape[-1] == expected_enc + 3
+    res = runner.train()
+    assert np.isfinite(res["loss_hist"]).all()
+    m = res["final_metrics"]
+    assert 0.0 <= m["MeanForegroundBinaryMIOU"] <= 1.0
+    # the prior consumed the first two (encoding) channels
+    assert "PriorMeanForegroundBinaryMIOU" in m
