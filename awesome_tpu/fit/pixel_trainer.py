@@ -41,6 +41,10 @@ class PixelTrainConfig:
     lr: float = 0.02
     optimizer: str = "adam"
     alpha: float = 1.0
+    # extra-penalty scales: AwesomeLoss uses (0.1, 100); the joint loss
+    # passes (gamma, beta) from its config
+    pen_base_scale: float = 0.1
+    pen_align_scale: float = 100.0
     extra_penalty_after: Optional[int] = None  # epoch index or None
     extra_penalty_lr_factor: float = 1.0  # reduce_lr_in_extra_penalty
     plateau_patience: int = 200
@@ -76,13 +80,17 @@ def masked_awesome_loss(
     random_mask,
     alpha: float,
     extra_penalty,
+    pen_base_scale: float = 0.1,
+    pen_align_scale: float = 100.0,
 ):
     """AwesomeLoss with explicit pixel-role masks (padding-safe).
 
     output (N, 2): [seg, prior] probabilities; target (N, 1); masks (N,).
     Base: mean-BCE over scribble pixels of seg + alpha * same for prior.
-    Extra-penalty phase (`awesome_loss.py:55-61`): 0.1 * base +
-    100 * mean((prior - (seg > .5))^2) over random pixels.
+    Extra-penalty phase (`awesome_loss.py:55-61`): pen_base_scale * base +
+    pen_align_scale * mean((prior - (seg > .5))^2) over random pixels —
+    (0.1, 100) is the classic AwesomeLoss; the JOINT variant passes
+    (gamma, beta) from its config (`awesome/measures/awesome_loss_joint.py`).
     ``extra_penalty`` may be a traced bool.
     """
     sw = scribble_mask.astype(output.dtype)[:, None]
@@ -100,7 +108,7 @@ def masked_awesome_loss(
         (output[:, 0:1] > 0.5).astype(output.dtype)
     )
     align = ((output[:, 1:2] - hard_seg) ** 2 * rw).sum() / n_rnd
-    with_pen = 0.1 * base + 100.0 * align
+    with_pen = pen_base_scale * base + pen_align_scale * align
     return jnp.where(extra_penalty, with_pen, base)
 
 
@@ -112,7 +120,9 @@ def _make_pixel_step(wrapper, cfg: PixelTrainConfig, loss_impl=None):
         def loss_impl(params, px, gt, smask, rmask, extra_penalty):
             out = wrapper.apply(params, px)
             return masked_awesome_loss(
-                out, gt, smask, rmask, cfg.alpha, extra_penalty
+                out, gt, smask, rmask, cfg.alpha, extra_penalty,
+                pen_base_scale=cfg.pen_base_scale,
+                pen_align_scale=cfg.pen_align_scale,
             )
 
     vg = jax.value_and_grad(loss_impl)
@@ -279,7 +289,9 @@ def make_shared_pixel_segment_fn(
                 raw = bce(out[:, 0:1], gt_i, reduction="none")
                 return (raw * sw).sum() / jnp.maximum(sw.sum(), 1.0)
             return masked_awesome_loss(
-                out, gt_i, sm_i, rm_i, cfg.alpha, extra
+                out, gt_i, sm_i, rm_i, cfg.alpha, extra,
+                pen_base_scale=cfg.pen_base_scale,
+                pen_align_scale=cfg.pen_align_scale,
             )
 
         prior_stack = params.get("prior")

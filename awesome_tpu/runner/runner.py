@@ -481,13 +481,15 @@ class AwesomeRunner(Runner):
         if not image_mode and not (xyw or rgbw):
             return None
         alpha = self.config.loss_args.get("alpha", 1.0)
+        pen_base, pen_align = self._penalty_scales()
         has_prior = self.wrapper.prior_module is not None
 
         def loss_impl(params, px, gt, smask, rmask, extra_penalty):
             out = self._forward_one(params, px)
             if has_prior:
                 loss = masked_awesome_loss(
-                    out, gt, smask, rmask, alpha, extra_penalty
+                    out, gt, smask, rmask, alpha, extra_penalty,
+                    pen_base_scale=pen_base, pen_align_scale=pen_align,
                 )
             else:
                 sw = smask.astype(out.dtype)[:, None]
@@ -605,13 +607,25 @@ class AwesomeRunner(Runner):
         }
 
     # --- train -----------------------------------------------------------
+    def _penalty_scales(self):
+        """Extra-penalty scales: AwesomeLoss hardcodes (0.1, 100); the
+        JOINT losses weight with (gamma, beta) from loss_args
+        (`awesome/measures/awesome_loss_joint.py`)."""
+        la = self.config.loss_args
+        if "joint" in (self.config.loss_type or ""):
+            return float(la.get("gamma", 1.0)), float(la.get("beta", 1.0))
+        return 0.1, 100.0
+
     def _train_cfg(self, num_epochs: int):
         from awesome_tpu.fit.pixel_trainer import PixelTrainConfig
 
         cfg = self.config
+        pen_base, pen_align = self._penalty_scales()
         return PixelTrainConfig(
             num_epochs=num_epochs,
             lr=cfg.optimizer_args.get("lr", 1e-3),
+            pen_base_scale=pen_base,
+            pen_align_scale=pen_align,
             optimizer=cfg.optimizer_type
             if cfg.optimizer_type in ("adam", "adamax")
             else "adam",

@@ -123,3 +123,32 @@ def test_fcnet_sequential_yaml_families(tmp_path, name, xytype):
     assert 0.0 <= m["MeanForegroundBinaryMIOU"] <= 1.0
     # the prior consumed the first two (encoding) channels
     assert "PriorMeanForegroundBinaryMIOU" in m
+
+
+def test_cnnet_joint_yaml_end_to_end(tmp_path):
+    """Convexity JOINT family: image mode + AwesomeImageLossJoint
+    (gamma/beta extra-penalty scales) + gradient penalty + reduce-lr hook,
+    from the unmodified YAML."""
+    cfg, extra = load_reference_config(
+        os.path.join(REF, "convexity/joint/CNNET_benchmark+xy+convex+joint.yaml")
+    )
+    assert cfg.loss_type == "awesome_loss_joint"
+    assert cfg.use_extra_penalty_hook is True
+    assert cfg.use_reduce_lr_in_extra_penalty_hook is True
+    cfg.num_epochs = 30
+    cfg.extra_penalty_after_n_epochs = 15
+    cfg.compute_metrics_during_training_nth_epoch = 30
+    cfg.dataset_args["n"] = 2
+    cfg.dataset_args["h"] = cfg.dataset_args["w"] = 20
+    cfg.runs_path = str(tmp_path)
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    assert runner.image_mode is True
+    # joint loss -> (gamma, beta) extra-penalty scales from loss_args
+    assert runner._penalty_scales() == (
+        float(cfg.loss_args.get("gamma", 1.0)),
+        float(cfg.loss_args.get("beta", 1.0)),
+    )
+    res = runner.train()
+    assert np.isfinite(res["loss_hist"]).all()
+    assert 0.0 <= res["final_metrics"]["MeanForegroundBinaryMIOU"] <= 1.0
