@@ -152,3 +152,61 @@ def test_cnnet_joint_yaml_end_to_end(tmp_path):
     res = runner.train()
     assert np.isfinite(res["loss_hist"]).all()
     assert 0.0 <= res["final_metrics"]["MeanForegroundBinaryMIOU"] <= 1.0
+
+
+def test_refit_prior_only_yaml_end_to_end(tmp_path):
+    """refit-unet-prior-only family: pretrain_only + frozen segmentation
+    ('none') — per-frame prior refits against a fixed UNet, from the
+    unmodified YAML on the synthetic sequence."""
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+    from tests.test_fbms import _write_sequence
+
+    cfg, extra = load_reference_config(os.path.join(
+        REF, "path-connectedness/refit-unet-prior-only/"
+        "UNET+cars3+edge+diffeo+only_prior.yaml"
+    ))
+    assert cfg.pretrain_only is True
+    assert cfg.do_pretraining is True
+    assert cfg.segmentation_training_mode == "none"
+    assert cfg.loss_type == "fbms_joint_loss"
+    seq = _write_sequence(tmp_path)
+    cfg.prior_model_args.update(
+        hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
+        convex_net_hidden_layers=1,
+    )
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    runner.build()
+    # pretrain-only flow: fit per-frame priors, then a short frozen-seg
+    # joint pass must leave the UNet untouched
+    runner.pretrain_joint_priors(num_steps=30, reuse_state_steps=10, lr=5e-3)
+    res = runner.train_joint_from_config(num_epochs=1)
+    assert np.isfinite(res["loss"]).all()
+    assert int(runner.joint_state.step) > 0
+
+
+def test_spatiotemporal_yaml_end_to_end(tmp_path):
+    """Spatio-temporal family: ONE shared (x, y, t) prior for the whole
+    sequence (channels: 3), from the unmodified YAML."""
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+    from tests.test_fbms import _write_sequence
+
+    cfg, extra = load_reference_config(os.path.join(
+        REF, "path-connectedness/spatio-temporal/"
+        "UNET+cars3+edge+diffeo+spatio-temporal+realnvp.yaml"
+    ))
+    assert cfg.prior_model_args["channels"] == 3
+    assert cfg.dataset_args.get("spatio_temporal") is True
+    seq = _write_sequence(tmp_path)
+    cfg.prior_model_args.update(
+        hidden_units=8, flow_n_flows=3, convex_net_hidden_units=12,
+        convex_net_hidden_layers=1,
+    )
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    runner.build()
+    # the shared-prior pretrain is the spatio-temporal fit path
+    runner.config.num_epochs = 60
+    res = runner.pretrain()
+    assert np.isfinite(res["epoch_loss"]).all()
+    m = runner.evaluate()
+    assert m["num_gt_frames"] == 2
+    assert 0.0 <= m["MeanForegroundBinaryMIOU"] <= 1.0
