@@ -57,9 +57,18 @@ class FBMSRunner:
         batch size and flip settings from the nested dataset args."""
         pargs = dict(cfg.prior_model_args or {})
         ds = (cfg.dataset_args or {}).get("dataset") or {}
+        # noisy spatio-temporal family: 'noisy_percentage' is the label
+        # flip probability; the reference nests it in pretrain_args
+        # (`config/path-connectedness/noisy-spatio-temporal/*.yaml`)
+        flip = 0.0
+        for source in (cfg.pretrain_args or {}, ds,
+                       cfg.dataset_args or {}):
+            if source.get("noisy_percentage"):
+                flip = float(source["noisy_percentage"])
+                break
         c = FBMSExperimentConfig(
             dataset_path=dataset_path or ds.get("dataset_path", ""),
-            flip_probability=0.0,
+            flip_probability=flip,
             num_epochs=cfg.num_epochs,
             lr=float(cfg.optimizer_args.get("lr", 1e-4)),
             prior_hidden_units=int(pargs.get("hidden_units", 32)),

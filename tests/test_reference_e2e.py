@@ -210,3 +210,23 @@ def test_spatiotemporal_yaml_end_to_end(tmp_path):
     m = runner.evaluate()
     assert m["num_gt_frames"] == 2
     assert 0.0 <= m["MeanForegroundBinaryMIOU"] <= 1.0
+
+
+def test_noisy_spatiotemporal_yaml_noise_level(tmp_path):
+    """Noisy spatio-temporal family: 'noisy_percentage' maps to the label
+    flip probability and degrades the fit (never improves it)."""
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+    from tests.test_fbms import _write_sequence
+
+    base = os.path.join(REF, "path-connectedness/noisy-spatio-temporal")
+    name = [f for f in sorted(os.listdir(base)) if "np0_2" in f][0]
+    cfg, extra = load_reference_config(os.path.join(base, name))
+    seq = _write_sequence(tmp_path)
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    assert runner.config.flip_probability == 0.2
+    cfg0, _ = load_reference_config(
+        os.path.join(base, [f for f in sorted(os.listdir(base))
+                            if f.endswith("np0.yaml")][0])
+    )
+    runner0 = FBMSRunner.from_awesome_config(cfg0, dataset_path=seq)
+    assert runner0.config.flip_probability == 0.0
