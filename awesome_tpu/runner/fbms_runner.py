@@ -105,6 +105,38 @@ class FBMSRunner:
             ),
         )
 
+    def pretrain_joint_priors_from_config(self, zoo=None, **overrides):
+        """Per-image prior pretrain with the imported reference
+        ``pretrain_args`` (num_epochs / reuse_state_epochs / lr / prefit_*
+        knobs, e.g. the joint YAML's 4000/400 + flow-identity and convex
+        prefits)."""
+        cfg = self.awesome_config
+        if cfg is None:
+            raise ValueError("built without from_awesome_config")
+        pa = cfg.pretrain_args or {}
+        kwargs = dict(
+            num_steps=int(pa.get("num_epochs", 2000)),
+            reuse_state_steps=int(pa.get("reuse_state_epochs", 400)),
+            lr=float(pa.get("lr", 1e-3)),
+            seed=cfg.seed,
+            prefit_flow_identity=bool(pa.get("prefit_flow_net_identity",
+                                             False)),
+            prefit_flow_identity_steps=int(
+                pa.get("prefit_flow_net_identity_num_epochs", 100)
+            ),
+            prefit_flow_identity_lr=float(
+                pa.get("prefit_flow_net_identity_lr", 1e-2)
+            ),
+            prefit_convex=bool(pa.get("prefit_convex_net", False)),
+            prefit_convex_steps=int(
+                pa.get("prefit_convex_net_num_epochs", 200)
+            ),
+            prefit_convex_lr=float(pa.get("prefit_convex_net_lr", 1e-3)),
+            zoo=zoo,
+        )
+        kwargs.update(overrides)
+        return self.pretrain_joint_priors(**kwargs)
+
     def build(self):
         import jax
 
@@ -237,12 +269,25 @@ class FBMSRunner:
         lr: float = 1e-3,
         seed: int = 0,
         fused: Optional[bool] = None,
+        prefit_flow_identity: bool = False,
+        prefit_flow_identity_steps: int = 100,
+        prefit_flow_identity_lr: float = 1e-2,
+        prefit_convex: bool = False,
+        prefit_convex_steps: int = 200,
+        prefit_convex_lr: float = 1e-3,
+        zoo=None,
     ) -> Dict:
         """The reference's per-image prior pretrain BEFORE joint training
         (`agent/torch_agent.py:553-607` + `path_connected_net.py:730-1008`
         reuse_state semantics: cold fit on frame 0, warm-start fits on the
         rest): one compiled sequential sweep, fused Pallas step on TPU.
-        The result seeds ``train_joint`` (``joint_prior_init``)."""
+        The result seeds ``train_joint`` (``joint_prior_init``).
+
+        ``prefit_flow_identity`` / ``prefit_convex``: the reference's
+        warm-start prefits (flow ~ identity on the grid, Zoo-cached; ICNN
+        on the circle approximation of frame 0's unaries) —
+        `path_connected_net.py:155-390`.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -250,6 +295,8 @@ class FBMSRunner:
         from awesome_tpu.fit.prior_fit import (
             FitConfig,
             fit_priors_sequential,
+            learn_convex_net,
+            learn_flow_identity,
         )
 
         if fused is None:
@@ -257,6 +304,35 @@ class FBMSRunner:
         model = self._joint_prior_model()
         params = model.init(jax.random.PRNGKey(seed))
         pts = G.flatten_grid(G.pixel_grid(self.shape))
+        if prefit_flow_identity:
+            cached = None
+            zoo_name = f"flow_identity_{self.shape}_{seed}"
+            if zoo is not None:
+                # the reference Zoo-caches the flow-identity prefit
+                # (`path_connected_net.py:873-882`)
+                cached, _ = zoo.load_model_state(
+                    zoo_name, model.flow_net, params["flow"]
+                )
+                if cached is not None:
+                    params = dict(params, flow=cached)
+            if cached is None:
+                params, _ = learn_flow_identity(
+                    model, params, pts, lr=prefit_flow_identity_lr,
+                    max_iter=prefit_flow_identity_steps,
+                )
+                if zoo is not None:
+                    zoo.save_model_state(
+                        zoo_name, model.flow_net, params["flow"]
+                    )
+        if prefit_convex:
+            unaries0 = jnp.asarray(
+                self._joint_frame_targets()[0].reshape(-1, 1)
+            )
+            params, _ = learn_convex_net(
+                model, params, pts, unaries0, mode="circle",
+                grid_shape=self.shape, lr=prefit_convex_lr,
+                max_iter=prefit_convex_steps,
+            )
         targets = self._joint_frame_targets().reshape(
             len(self.dataset), -1, 1
         )

@@ -54,3 +54,48 @@ def test_joint_pretrain_then_train_and_evaluate(tmp_path):
     assert m["num_gt_frames"] >= 1
     assert 0.0 <= m["PriorMeanForegroundBinaryMIOU"] <= 1.0
     assert 0.0 <= m["MeanForegroundBinaryMIOU"] <= 1.0
+
+
+def test_pretrain_from_config_with_prefits_and_zoo(tmp_path):
+    """The joint YAML's pretrain_args drive the per-image pretrain:
+    reuse_state epochs, flow-identity prefit (Zoo-cached) and the convex
+    circle prefit."""
+    import os
+
+    from awesome_tpu.nn.zoo import Zoo
+    from awesome_tpu.runner.reference_import import load_reference_config
+
+    path = ("/root/reference/config/path-connectedness/joint/"
+            "UNET+cars3+edge+diffeo+original+joint.yaml")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference configs not present")
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+
+    cfg, _ = load_reference_config(path)
+    assert cfg.pretrain_args["prefit_flow_net_identity"] is True
+    assert cfg.pretrain_args["prefit_convex_net"] is True
+    seq = _write_sequence(tmp_path)
+    cfg.prior_model_args.update(
+        hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
+        convex_net_hidden_layers=1,
+    )
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    runner.build()
+    zoo = Zoo(str(tmp_path / "zoo"))
+    res = runner.pretrain_joint_priors_from_config(
+        zoo=zoo, num_steps=30, reuse_state_steps=10,
+        prefit_flow_identity_steps=20, prefit_convex_steps=20,
+    )
+    assert np.isfinite(res["cold_loss"])
+    # zoo cached the flow-identity prefit
+    assert any(f.endswith(".npz") for f in os.listdir(str(tmp_path / "zoo")))
+    # a second run hits the cache (same result path, no error)
+    runner2 = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    runner2.build()
+    res2 = runner2.pretrain_joint_priors_from_config(
+        zoo=zoo, num_steps=30, reuse_state_steps=10,
+        prefit_flow_identity_steps=20, prefit_convex_steps=20,
+    )
+    assert np.isfinite(res2["cold_loss"])
