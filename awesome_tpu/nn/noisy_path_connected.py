@@ -49,16 +49,53 @@ def pretrain_noisy(
     num_epochs: int = 2000,
     lr: float = 1e-3,
     weight_mode: str = "none",
+    prefit_flow_net_identity: bool = False,
+    prefit_flow_net_identity_lr: float = 1e-2,
+    prefit_flow_net_identity_num_epochs: int = 100,
+    prefit_convex_net: bool = False,
+    prefit_convex_net_lr: float = 1e-3,
+    prefit_convex_net_num_epochs: int = 200,
     **fit_kwargs,
 ):
     """Shared spatio-temporal fit against (possibly noise-flipped) weak
-    labels. The temporal smoothness of the (x, y, t) representation is
-    itself the noise regularizer (isolated flipped points cannot bend the
-    connected space-time tube) — matching the reference's finding that
-    IoU degrades gracefully up to ~20-30% flip rates (BASELINE.md)."""
-    from awesome_tpu.fit.prior_fit import FitConfig
+    labels, with the reference override's warm-start prefits
+    (`noisy_path_connected_net.py:38-160`): flow ~ identity on the
+    sequence grid, ICNN prefit on the FIRST + LAST frames' unaries (the
+    reference stacks frames 0 and -1 for the convex prefit). The temporal
+    smoothness of the (x, y, t) representation is itself the noise
+    regularizer (isolated flipped points cannot bend the connected
+    space-time tube) — matching the reference's finding that IoU degrades
+    gracefully up to ~20-30% flip rates (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit.prior_fit import (
+        FitConfig,
+        learn_convex_net,
+        learn_flow_identity,
+    )
     from awesome_tpu.fit.spatiotemporal import fit_spatiotemporal_prior
 
+    pts_flat = (
+        frame_points.reshape(-1, frame_points.shape[-1])
+        if frame_points.ndim == 3
+        else frame_points
+    )
+    if prefit_flow_net_identity:
+        params, _ = learn_flow_identity(
+            model, params, pts_flat, lr=prefit_flow_net_identity_lr,
+            max_iter=prefit_flow_net_identity_num_epochs,
+        )
+    if prefit_convex_net:
+        first_last_pts = jnp.concatenate(
+            [frame_points[0], frame_points[-1]], axis=0
+        )
+        first_last_tgt = jnp.concatenate(
+            [frame_targets[0], frame_targets[-1]], axis=0
+        )
+        params, _ = learn_convex_net(
+            model, params, first_last_pts, first_last_tgt, mode="unaries",
+            lr=prefit_convex_net_lr, max_iter=prefit_convex_net_num_epochs,
+        )
     cfg = FitConfig(num_steps=num_epochs, lr=lr, weight_mode=weight_mode,
                     **fit_kwargs)
     return fit_spatiotemporal_prior(

@@ -183,3 +183,39 @@ def test_batch_settings_of_dataset(tmp_path):
     assert bs.shuffle_in_validation_dataloader is True
     # defaults for plain objects
     assert BatchSettings.of(object()).training_batch_size == 1
+
+
+def test_pretrain_noisy_with_prefits():
+    """The noisy override's warm-start prefits (flow-identity + convex on
+    first/last frames) run before the shared spatio-temporal fit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awesome_tpu.fit.spatiotemporal import sequence_points
+    from awesome_tpu.nn.noisy_path_connected import (
+        noisy_path_connected_net,
+        pretrain_noisy,
+    )
+
+    h = w = 10
+    t = 3
+    model = noisy_path_connected_net((h, w), hidden_units=8, flow_n_flows=3,
+                                     convex_net_hidden_units=8,
+                                     convex_net_hidden_layers=1)
+    params = model.init(jax.random.PRNGKey(0))
+    pts = sequence_points((h, w), t)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    disk = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2) <= (h / 3) ** 2
+    targets = jnp.asarray(
+        np.stack([1.0 - disk.astype(np.float32).reshape(-1)] * t)
+    )[..., None]
+    labeled = jnp.asarray(rng.random((t, h * w)) < 0.6)
+    fitted, aux = pretrain_noisy(
+        model, params, pts, targets, labeled,
+        num_epochs=30, lr=5e-3,
+        prefit_flow_net_identity=True, prefit_flow_net_identity_num_epochs=15,
+        prefit_convex_net=True, prefit_convex_net_num_epochs=15,
+    )
+    assert np.isfinite(np.asarray(aux["epoch_loss"])).all()
