@@ -244,6 +244,7 @@ class AwesomeConfig(Config):
     compute_metrics_during_training_nth_epoch: Optional[int] = 100
     compute_crf_with_metrics: bool = False
     compute_crf_after_training: bool = False
+    compute_crf_after_pretraining: bool = False
     save_images_after_pretraining: bool = False
     plot_indices_during_training: Optional[List[int]] = None
     plot_indices_during_training_nth_epoch: Optional[int] = 100

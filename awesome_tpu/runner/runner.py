@@ -600,11 +600,16 @@ class AwesomeRunner(Runner):
         if cfg.save_images_after_pretraining:
             self._dump_images(epoch=0, folder="prior",
                               indices=range(len(self.samples)))
-        return {
+        result = {
             "loaded": False,
             "path": state_path,
             "gate_iou": np.asarray(aux.get("gate_iou", [])),
         }
+        if cfg.compute_crf_after_pretraining:
+            # after-pretrain CRF'd eval (`awesome_runner.py:335-341`
+            # get_final_save_handle(compute_crf=...))
+            result["metrics"] = self.evaluate(compute_crf=True)
+        return result
 
     # --- train -----------------------------------------------------------
     def _penalty_scales(self):

@@ -256,3 +256,14 @@ def test_multi_mode_pretrain_seeds_shared_training(tmp_path):
     post_prior = jax.tree_util.tree_leaves(runner.stacked_params["prior"])[0]
     assert post_prior.shape == pre_prior.shape
     assert np.isfinite(np.asarray(post_prior)).all()
+
+
+def test_crf_after_pretraining(tmp_path):
+    cfg = _config(tmp_path, do_pretraining=True,
+                  compute_crf_after_pretraining=True,
+                  pretrain_args={"num_epochs": 20, "lr": 1e-2})
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    res = runner.pretrain()
+    assert "metrics" in res
+    assert "CRFMeanForegroundBinaryMIOU" in res["metrics"]
