@@ -1000,7 +1000,12 @@ class AwesomeRunner(Runner):
             yy, xx = np.mgrid[0:h, 0:w]
             norm = np.stack([yy / h - 0.5, xx / w - 0.5], -1).reshape(-1, 2)
             rgb = s.image.reshape(-1, 3)
-            px = np.concatenate([norm, rgb], -1).astype(np.float32)
+            px = self._encode_px(
+                s, np.concatenate([norm, rgb], -1).astype(np.float32)
+            )
+            # prior query points = the encoding's leading channels (xy, or
+            # the feature space for xytype='feat')
+            norm = px[:, 0:2]
             params_i = T.tree_select(self.stacked_params, i)
             seg = self._forward_one(
                 params_i, jnp.asarray(px), evaluate_prior=False
