@@ -101,6 +101,85 @@ def make_fused_fit_fn(
     return fit
 
 
+def make_grouped_fused_fit_fn(
+    model,
+    cfg: FitConfig,
+    group: int,
+    interpret: Optional[bool] = None,
+    tile_n: Optional[int] = None,
+) -> Callable:
+    """Grouped fused fit: ``fit(stacked_params, points, stacked_targets,
+    active=True) -> (stacked_params, aux)`` where the leading axis has
+    length ``group`` and ALL images share one kernel program per step —
+    amortizing the fixed per-program cost that bounds small tiles.
+
+    Semantics deviation vs the per-image engines: the plateau scheduler
+    and NaN guard act on the MEAN loss of the group (one LR for the
+    group); per-image losses are still returned in ``aux['loss_hist']``
+    (steps, G)."""
+    if not flagship_supported(model):
+        raise ValueError("model not supported by the fused flagship kernel")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    kwargs = {"interpret": interpret, "group": group}
+    if tile_n is not None:
+        kwargs["tile_n"] = tile_n
+    if cfg.compute_dtype is not None:
+        kwargs["use_bf16"] = True
+    fused = make_flagship_loss_grad(model, use_sigmoid=cfg.use_sigmoid,
+                                    **kwargs)
+    init_fn, update_fn = {
+        "adamax": (optim.adamax_init, optim.adamax_update),
+        "adam": (optim.adam_init, optim.adam_update),
+    }[cfg.optimizer]
+
+    def fit(stacked_params, points, stacked_targets, active=True):
+        weights = jax.vmap(lambda t: make_point_weights(t, cfg))(
+            stacked_targets
+        )  # (G, N, 1)
+        packed = jax.vmap(lambda p: pack_flagship(model, p))(stacked_params)
+        wd = packed_weight_decay(model, packed, cfg.flow_weight_decay)
+        opt_state = init_fn(packed)
+        sched = optim.plateau_init(cfg.dtype)
+
+        def step(carry, _):
+            packed, opt_state, sched = carry
+            loss_vec, grads = fused(packed, points, stacked_targets, weights)
+            loss = loss_vec.mean()
+            lr = cfg.lr * sched.scale
+            new_packed, new_opt = update_fn(
+                packed, grads, opt_state, lr, weight_decay=wd
+            )
+            new_packed = packed_enforce_convexity(new_packed)
+            ok = (
+                jnp.all(jnp.isfinite(loss_vec))
+                if cfg.nan_guard else jnp.asarray(True)
+            )
+            if cfg.lr_stop_scale > 0.0:
+                ok = jnp.logical_and(ok, sched.scale > cfg.lr_stop_scale)
+            ok = jnp.logical_and(ok, active)
+            packed = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_packed, packed
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+            )
+            sched = optim.plateau_update(
+                sched, loss,
+                factor=cfg.plateau_factor, patience=cfg.plateau_patience,
+            )
+            return (packed, opt_state, sched), loss_vec
+
+        (packed, _, sched), loss_hist = jax.lax.scan(
+            step, (packed, opt_state, sched), None, length=cfg.num_steps,
+            unroll=min(cfg.unroll, cfg.num_steps),
+        )
+        fitted = jax.vmap(lambda p: unpack_flagship(model, p))(packed)
+        return fitted, {"loss_hist": loss_hist, "lr_scale": sched.scale}
+
+    return fit
+
+
 def fit_prior_fused(
     model, params: Params, points, target_points, cfg: FitConfig,
     interpret: bool = False,

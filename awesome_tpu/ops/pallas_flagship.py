@@ -204,11 +204,17 @@ def _mask_col(i: int):
 
 
 def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
-            use_sigmoid: bool, use_bf16: bool,
+            use_sigmoid: bool, use_bf16: bool, group: int,
             x_ref, tgt_ref, wpt_ref,
             pre_a_ref, pre_b_ref, post_a_ref, post_b_ref,
             *refs):
-    """One point tile: full fwd + bwd, transposed (C, T) layout."""
+    """One point tile: full fwd + bwd, transposed (C, T) layout.
+
+    ``group`` > 1 processes several images' fits in ONE program (weights /
+    data / grads carry a leading group axis; a static python loop emits
+    all images' ops into the same program) — amortizing the fixed
+    per-program cost that dominates small tiles.
+    """
     n_p = len(PACKED_FIELDS)
     w = {name: refs[k] for k, name in enumerate(PACKED_FIELDS)}
     loss_ref = refs[n_p]
@@ -247,100 +253,6 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         return jnp.dot(a.astype(cdt), b.astype(cdt),
                        preferred_element_type=f32)
 
-    x = x_ref[...]  # (2, T)
-    tgt = tgt_ref[...]  # (1, T)
-    wpt = wpt_ref[...]  # (1, T)
-
-    # ---- forward: translate + norm ----
-    wt = w["wt"][...]
-    bt = w["bt"][...]
-    x1 = x * wt + bt
-    pre_a = pre_a_ref[...]
-    z = x1 * pre_a + pre_b_ref[...]
-
-    # ---- forward: flow, saving inputs + activations for the backward ----
-    # (rematerialization traded back for VMEM: at the fused tile size the
-    # whole activation set fits on-chip, so the bwd pass below reuses these
-    # instead of recomputing — ~2 fewer matmuls per coupling)
-    z_saved = []
-    h_saved = []
-    st_saved = []
-    for i in range(n_flows):
-        z_saved.append(z)
-        b = _mask_col(i)
-        zm = z * b
-        h = jnp.maximum(
-            mm(w["w1"][i], zm)
-            + w["b1"][i], 0.0,
-        )  # (2*hidden, T)
-        h_saved.append(h)
-        # merged second layer: block-diagonal (4, 2*hidden) -> rows
-        # [s(2) | t(2)] in ONE matmul (the step is issue-bound; zeros in
-        # the off-blocks are free, their grads are masked in the bwd)
-        st = (
-            mm(w["w2"][i], h) + w["b2"][i]
-        )  # (4, T)
-        if use_tanh:
-            st = jnp.tanh(st)
-        st_saved.append(st)
-        s, t = st[:2], st[2:]
-        z = zm + (1.0 - b) * (z * jnp.exp(s) + t)
-        z_saved.append(z)  # pre-ActNorm value
-        z = z * jnp.exp(w["an_s"][i]) + w["an_t"][i]
-
-    # ---- forward: inverse norm + ICNN ----
-    xd = z * post_a_ref[...] + post_b_ref[...]
-    pre_acts = []
-    h = mm(w["win"][...], xd) + w["bin"][...]
-    pre_acts.append(h)
-    h = jnp.maximum(h, 0.0)
-    acts = [h]
-    for i in range(n_layers):
-        zl = (
-            mm(w["wln"][i], h)
-            + w["bln"][i]
-            + mm(w["wsk"][i], xd)
-        )
-        pre_acts.append(zl)
-        h = jnp.maximum(zl, 0.0)
-        acts.append(h)
-    y = (
-        mm(w["wout"][...], h)
-        + w["bout"][...]
-        + mm(w["wosk"][...], xd)
-    )  # (1, T)
-
-    # ---- loss + dL/dy ----
-    if use_sigmoid:
-        p = jax.nn.sigmoid(y)
-        e = p - tgt
-        acc(loss_ref, jnp.sum(wpt * e * e).reshape(1, 1))
-        g = wpt * 2.0 * e * p * (1.0 - p)
-    else:
-        e = y - tgt
-        acc(loss_ref, jnp.sum(wpt * e * e).reshape(1, 1))
-        g = wpt * 2.0 * e
-
-    # ---- backward: ICNN ----
-    h_last = acts[-1]
-    acc(d["wout"], mm(g, h_last.T))
-    acc(d["bout"], jnp.sum(g, axis=1, keepdims=True))
-    acc(d["wosk"], mm(g, xd.T))
-    dh = mm(w["wout"][...].T, g)
-    dxd = mm(w["wosk"][...].T, g)
-    for i in reversed(range(n_layers)):
-        dz = dh * (pre_acts[i + 1] > 0.0)
-        acc(d["wln"], mm(dz, acts[i].T), i)
-        acc(d["bln"], jnp.sum(dz, axis=1, keepdims=True), i)
-        acc(d["wsk"], mm(dz, xd.T), i)
-        dh = mm(w["wln"][i].T, dz)
-        dxd = dxd + mm(w["wsk"][i].T, dz)
-    dz0 = dh * (pre_acts[0] > 0.0)
-    acc(d["win"], mm(dz0, xd.T))
-    acc(d["bin"], jnp.sum(dz0, axis=1, keepdims=True))
-    dxd = dxd + mm(w["win"][...].T, dz0)
-
-    # ---- backward: inverse norm, then the flow chain ----
     # block mask for the merged second layer: rows [s|t] x cols [hs|ht]
     r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 0)
     c4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 1)
@@ -348,57 +260,157 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         ((r4 < 2) & (c4 < hidden)) | ((r4 >= 2) & (c4 >= hidden))
     ).astype(f32)
 
-    gz = dxd * post_a_ref[...]
-    for i in reversed(range(n_flows)):
-        z_pre_an = z_saved[2 * i + 1]
-        z_in = z_saved[2 * i]
-        es_an = jnp.exp(w["an_s"][i])
-        acc(d["an_s"], jnp.sum(gz * z_pre_an * es_an, axis=1, keepdims=True), i)
-        acc(d["an_t"], jnp.sum(gz, axis=1, keepdims=True), i)
-        gz = gz * es_an
+    for g in range(group):
 
-        b = _mask_col(i)
-        inv_b = 1.0 - b
-        zm = z_in * b
-        h = h_saved[i]  # post-relu (2*hidden, T); relu' == (h > 0)
-        st = st_saved[i]  # post-tanh (4, T)
-        s_act = st[:2]
-        es = jnp.exp(s_act)
+        def W(name, i=None):
+            ref = w[name]
+            if group > 1:
+                return ref[g] if i is None else ref[g, i]
+            return ref[...] if i is None else ref[i]
 
-        ds = inv_b * gz * z_in * es
-        dt = inv_b * gz
-        d_st = jnp.concatenate([ds, dt], axis=0)  # (4, T)
-        if use_tanh:
-            d_st = d_st * (1.0 - st * st)
-        # off-block grads are nonzero algebraically but the stored weights
-        # there are exactly 0 and must stay 0 — mask them out
-        acc(d["w2"],
-            mm(d_st, h.T) * w2_mask, i)
-        acc(d["b2"], jnp.sum(d_st, axis=1, keepdims=True), i)
-        dh_all = (
-            mm(w["w2"][i].T, d_st)
-            * (h > 0.0)
-        )
-        acc(d["w1"], mm(dh_all, zm.T), i)
-        acc(d["b1"], jnp.sum(dh_all, axis=1, keepdims=True), i)
-        dzm = mm(w["w1"][i].T, dh_all)
-        gz = b * gz + inv_b * gz * es + b * dzm
+        def A(name, val, i=None):
+            if group > 1:
+                acc(d[name], val, (g,) if i is None else (g, i))
+            else:
+                acc(d[name], val, i)
 
-    # ---- backward: norm pre-affine + translation ----
-    dx1 = gz * pre_a
-    acc(d["wt"], jnp.sum(dx1 * x, axis=1, keepdims=True))
-    acc(d["bt"], jnp.sum(dx1, axis=1, keepdims=True))
+        x = x_ref[...]  # (2, T) — points shared across the group
+        tgt = tgt_ref[g] if group > 1 else tgt_ref[...]  # (1, T)
+        wpt = wpt_ref[g] if group > 1 else wpt_ref[...]  # (1, T)
+
+        # ---- forward: translate + norm ----
+        wt = W("wt")
+        bt = W("bt")
+        x1 = x * wt + bt
+        pre_a = pre_a_ref[...]
+        z = x1 * pre_a + pre_b_ref[...]
+
+        # ---- forward: flow, saving inputs + activations for the bwd ----
+        # (rematerialization traded back for VMEM: at the fused tile size
+        # the whole activation set fits on-chip, so the bwd pass reuses
+        # these instead of recomputing — ~2 fewer matmuls per coupling)
+        z_saved = []
+        h_saved = []
+        st_saved = []
+        for i in range(n_flows):
+            z_saved.append(z)
+            b = _mask_col(i)
+            zm = z * b
+            h = jnp.maximum(mm(W("w1", i), zm) + W("b1", i), 0.0)
+            h_saved.append(h)  # (2*hidden, T)
+            # merged second layer: block-diagonal (4, 2*hidden) -> rows
+            # [s(2) | t(2)] in ONE matmul (the step is issue-bound; zeros
+            # in the off-blocks are free, their grads are masked in bwd)
+            st = mm(W("w2", i), h) + W("b2", i)  # (4, T)
+            if use_tanh:
+                st = jnp.tanh(st)
+            st_saved.append(st)
+            s, t = st[:2], st[2:]
+            z = zm + (1.0 - b) * (z * jnp.exp(s) + t)
+            z_saved.append(z)  # pre-ActNorm value
+            z = z * jnp.exp(W("an_s", i)) + W("an_t", i)
+
+        # ---- forward: inverse norm + ICNN ----
+        xd = z * post_a_ref[...] + post_b_ref[...]
+        pre_acts = []
+        h = mm(W("win"), xd) + W("bin")
+        pre_acts.append(h)
+        h = jnp.maximum(h, 0.0)
+        acts = [h]
+        for i in range(n_layers):
+            zl = mm(W("wln", i), h) + W("bln", i) + mm(W("wsk", i), xd)
+            pre_acts.append(zl)
+            h = jnp.maximum(zl, 0.0)
+            acts.append(h)
+        y = mm(W("wout"), h) + W("bout") + mm(W("wosk"), xd)  # (1, T)
+
+        # ---- loss + dL/dy ----
+        if use_sigmoid:
+            p = jax.nn.sigmoid(y)
+            e = p - tgt
+            loss_val = jnp.sum(wpt * e * e)
+            gy = wpt * 2.0 * e * p * (1.0 - p)
+        else:
+            e = y - tgt
+            loss_val = jnp.sum(wpt * e * e)
+            gy = wpt * 2.0 * e
+        if group > 1:
+            acc(loss_ref, loss_val.reshape(1), (g,))
+        else:
+            acc(loss_ref, loss_val.reshape(1, 1))
+
+        # ---- backward: ICNN ----
+        h_last = acts[-1]
+        A("wout", mm(gy, h_last.T))
+        A("bout", jnp.sum(gy, axis=1, keepdims=True))
+        A("wosk", mm(gy, xd.T))
+        dh = mm(W("wout").T, gy)
+        dxd = mm(W("wosk").T, gy)
+        for i in reversed(range(n_layers)):
+            dz = dh * (pre_acts[i + 1] > 0.0)
+            A("wln", mm(dz, acts[i].T), i)
+            A("bln", jnp.sum(dz, axis=1, keepdims=True), i)
+            A("wsk", mm(dz, xd.T), i)
+            dh = mm(W("wln", i).T, dz)
+            dxd = dxd + mm(W("wsk", i).T, dz)
+        dz0 = dh * (pre_acts[0] > 0.0)
+        A("win", mm(dz0, xd.T))
+        A("bin", jnp.sum(dz0, axis=1, keepdims=True))
+        dxd = dxd + mm(W("win").T, dz0)
+
+        # ---- backward: inverse norm, then the flow chain ----
+        gz = dxd * post_a_ref[...]
+        for i in reversed(range(n_flows)):
+            z_pre_an = z_saved[2 * i + 1]
+            z_in = z_saved[2 * i]
+            es_an = jnp.exp(W("an_s", i))
+            A("an_s", jnp.sum(gz * z_pre_an * es_an, axis=1, keepdims=True),
+              i)
+            A("an_t", jnp.sum(gz, axis=1, keepdims=True), i)
+            gz = gz * es_an
+
+            b = _mask_col(i)
+            inv_b = 1.0 - b
+            zm = z_in * b
+            h = h_saved[i]  # post-relu (2*hidden, T); relu' == (h > 0)
+            st = st_saved[i]  # post-tanh (4, T)
+            s_act = st[:2]
+            es = jnp.exp(s_act)
+
+            ds = inv_b * gz * z_in * es
+            dt = inv_b * gz
+            d_st = jnp.concatenate([ds, dt], axis=0)  # (4, T)
+            if use_tanh:
+                d_st = d_st * (1.0 - st * st)
+            # off-block grads are nonzero algebraically but the stored
+            # weights there are exactly 0 and must stay 0 — mask them out
+            A("w2", mm(d_st, h.T) * w2_mask, i)
+            A("b2", jnp.sum(d_st, axis=1, keepdims=True), i)
+            dh_all = mm(W("w2", i).T, d_st) * (h > 0.0)
+            A("w1", mm(dh_all, zm.T), i)
+            A("b1", jnp.sum(dh_all, axis=1, keepdims=True), i)
+            dzm = mm(W("w1", i).T, dh_all)
+            gz = b * gz + inv_b * gz * es + b * dzm
+
+        # ---- backward: norm pre-affine + translation ----
+        dx1 = gz * pre_a
+        A("wt", jnp.sum(dx1 * x, axis=1, keepdims=True))
+        A("bt", jnp.sum(dx1, axis=1, keepdims=True))
 
 
 def make_flagship_loss_grad(model, use_sigmoid: bool = True,
                             tile_n: int = TILE_N, interpret: bool = False,
-                            use_bf16: bool = False):
+                            use_bf16: bool = False, group: int = 1):
     """Build ``f(packed, x, target, point_weights) -> (loss, packed_grads)``
     — the fused value_and_grad of the flagship objective.
 
     x: (N, 2) points; target/point_weights: (N, 1). All f32.
     ``use_bf16``: matmul inputs cast to bf16 (f32 accumulation) — 2x MXU
     K-packing on the ICNN's K=130 dots; master params stay f32.
+    ``group`` > 1: process a GROUP of images' fits per kernel program —
+    packed leaves carry a leading group axis, target/point_weights are
+    (G, N, 1), points stay shared; returns per-image losses (G,) and
+    grouped grads. Amortizes the fixed per-program cost.
     """
     if not flagship_supported(model):
         raise ValueError("model not in the fused flagship family")
@@ -410,22 +422,41 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
     pre_a, pre_b, post_a, post_b = _norm_constants(model)
 
     kern = functools.partial(
-        _kernel, n_flows, n_layers, hidden, use_tanh, use_sigmoid, use_bf16
+        _kernel, n_flows, n_layers, hidden, use_tanh, use_sigmoid, use_bf16,
+        group,
     )
 
     def f(packed, x, target, point_weights):
         n = x.shape[0]
         pad = (-n) % tile_n
         x_t = jnp.pad(x, ((0, pad), (0, 0))).T  # (2, Np)
-        tgt_t = jnp.pad(target, ((0, pad), (0, 0))).T  # (1, Np)
-        wpt_t = jnp.pad(point_weights, ((0, pad), (0, 0))).T
+        if group > 1:
+            # (G, N, 1) -> (G, 1, Np)
+            tgt_t = jnp.swapaxes(
+                jnp.pad(target, ((0, 0), (0, pad), (0, 0))), 1, 2
+            )
+            wpt_t = jnp.swapaxes(
+                jnp.pad(point_weights, ((0, 0), (0, pad), (0, 0))), 1, 2
+            )
+            data_specs = [
+                pl.BlockSpec((2, tile_n), lambda i: (0, i)),
+                pl.BlockSpec((group, 1, tile_n), lambda i: (0, 0, i)),
+                pl.BlockSpec((group, 1, tile_n), lambda i: (0, 0, i)),
+            ]
+            loss_shape = (group, 1)
+            loss_spec = pl.BlockSpec((group, 1), lambda i: (0, 0))
+        else:
+            tgt_t = jnp.pad(target, ((0, pad), (0, 0))).T  # (1, Np)
+            wpt_t = jnp.pad(point_weights, ((0, pad), (0, 0))).T
+            data_specs = [
+                pl.BlockSpec((2, tile_n), lambda i: (0, i)),
+                pl.BlockSpec((1, tile_n), lambda i: (0, i)),
+                pl.BlockSpec((1, tile_n), lambda i: (0, i)),
+            ]
+            loss_shape = (1, 1)
+            loss_spec = pl.BlockSpec((1, 1), lambda i: (0, 0))
         grid = (x_t.shape[1] // tile_n,)
 
-        datas = [
-            pl.BlockSpec((2, tile_n), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i)),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i)),
-        ]
         consts = [
             pl.BlockSpec((2, 1), lambda i: (0, 0)) for _ in range(4)
         ]
@@ -434,10 +465,10 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
             pl.BlockSpec(wv.shape, lambda i, nd=wv.ndim: (0,) * nd)
             for wv in weights
         ]
-        out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)] + [
+        out_shapes = [jax.ShapeDtypeStruct(loss_shape, jnp.float32)] + [
             jax.ShapeDtypeStruct(wv.shape, jnp.float32) for wv in weights
         ]
-        out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0))] + [
+        out_specs = [loss_spec] + [
             pl.BlockSpec(wv.shape, lambda i, nd=wv.ndim: (0,) * nd)
             for wv in weights
         ]
@@ -445,7 +476,7 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
             kern,
             out_shape=tuple(out_shapes),
             grid=grid,
-            in_specs=datas + consts + w_specs,
+            in_specs=data_specs + consts + w_specs,
             out_specs=tuple(out_specs),
             interpret=interpret,
         )(
@@ -454,7 +485,7 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
             jnp.asarray(post_a), jnp.asarray(post_b),
             *weights,
         )
-        loss = outs[0][0, 0]
+        loss = outs[0][:, 0] if group > 1 else outs[0][0, 0]
         grads = {
             name: outs[1 + k] for k, name in enumerate(PACKED_FIELDS)
         }

@@ -94,3 +94,49 @@ def test_fused_sequential_warm_start():
     leaves = jax.tree_util.tree_leaves(stacked)
     assert leaves[0].shape[0] == 3
     assert np.isfinite(np.asarray(aux["first_aux"]["loss_hist"])).all()
+
+
+def test_grouped_fused_fit_matches_single_fused():
+    """group-G kernel programs: per-image losses and fitted params match
+    the group=1 fused engine (same math, same order; only the program
+    packing differs). Plateau acts on the group mean (inactive here)."""
+    h = w = 12
+    model = real_nvp_path_connected_net(
+        channels=2, hidden_units=8, flow_n_flows=2, flow_output_fn="tanh",
+        spatial_shape=(h, w), convex_net_hidden_units=8,
+        convex_net_hidden_layers=1,
+    )
+    from awesome_tpu.fit.fused_fit import make_grouped_fused_fit_fn
+
+    g = 2
+    stacked = jax.vmap(model.init)(jax.random.split(jax.random.PRNGKey(0), g))
+    pts = G.flatten_grid(G.pixel_grid((h, w)))
+    yy, xx = np.mgrid[0:h, 0:w]
+    t0 = 1.0 - (((yy - 5) ** 2 + (xx - 5) ** 2) <= 9).astype(np.float32)
+    t1 = 1.0 - (((yy - 7) ** 2 + (xx - 7) ** 2) <= 9).astype(np.float32)
+    targets = jnp.asarray(np.stack([t0, t1])).reshape(g, -1, 1)
+
+    cfg = FitConfig(num_steps=20, lr=1e-3, nan_guard_grads=False)
+    gfit = jax.jit(make_grouped_fused_fit_fn(model, cfg, group=g,
+                                             interpret=True, tile_n=64))
+    g_params, g_aux = gfit(stacked, pts, targets)
+    assert g_aux["loss_hist"].shape == (20, g)
+
+    sfit = jax.jit(make_fused_fit_fn(model, cfg, interpret=True, tile_n=64))
+    for i in range(g):
+        from awesome_tpu.core import tree as T
+
+        s_params, s_aux = sfit(
+            T.tree_select(stacked, i), pts, targets[i]
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_aux["loss_hist"][:, i]),
+            np.asarray(s_aux["loss_hist"]), rtol=2e-4,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(T.tree_select(g_params, i)),
+            jax.tree_util.tree_leaves(s_params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6
+            )
