@@ -209,6 +209,116 @@ def weak_label_unaries(
     return unaries, labeled
 
 
+def multi_object_weak_labels(
+    trajectories: Sequence[Trajectory],
+    frame_id: int,
+    image_shape: Tuple[int, int],
+    foreground_ids: Optional[Sequence[int]] = None,
+    max_objects: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-OBJECT sparse weak-label unaries for one frame (the multi-object
+    label mode, `awesome/dataset/label_mode.py` MULTIPLE_OBJECTS +
+    `fbms_sequence_sample.py:369-420` multi-label foreground handling).
+
+    Returns ``(unaries (K, H, W), labeled (H, W) bool, object_ids (K,))``:
+    channel k holds fg=0 at object k's trajectory points and bg=1 at every
+    OTHER labeled point (other objects are background for this object —
+    the per-object unary the reference fits each child prior against,
+    `multiple_object_aware_path_connected_net.py:211-218`). Object ids are
+    the weak-label ids > 0 sorted by pixel support (largest first, the
+    reference's ranking); id 0 (background) never gets a channel.
+    ``max_objects`` pads/truncates K to a static capacity (extra channels
+    are all-bg with id -1).
+    """
+    masks, ids = trajectories_frame_to_mask(
+        trajectories, frame_id, image_shape
+    )
+    h, w = image_shape
+    labeled = np.zeros((h, w), bool)
+    for m in masks:
+        labeled |= m > 0
+    if foreground_ids is None:
+        fg_ids = [int(i) for i in ids if i != 0]
+    else:
+        fg_ids = [int(i) for i in foreground_ids if i in ids]
+    # rank by pixel support, largest first (`fbms_sequence_sample.py:383`)
+    support = {
+        int(oid): float((masks[j] > 0).sum())
+        for j, oid in enumerate(ids)
+    }
+    fg_ids = sorted(fg_ids, key=lambda i: -support.get(i, 0.0))
+    k = max_objects if max_objects is not None else len(fg_ids)
+    unaries = np.ones((k, h, w), np.float32)
+    out_ids = np.full((k,), -1, np.int64)
+    id_to_mask = {int(oid): masks[j] > 0 for j, oid in enumerate(ids)}
+    for c, oid in enumerate(fg_ids[:k]):
+        unaries[c][id_to_mask[oid]] = 0.0
+        out_ids[c] = oid
+    return unaries, labeled, out_ids
+
+
+def value_mask_to_channels(
+    mask: np.ndarray, background_value: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a value-coded mask (H, W) into per-object boolean channels
+    (K, H, W) + their ids, background excluded — the reference's
+    ``load_mask_multi_channel`` (`fbms_sequence_sample.py:200-230`)."""
+    ids = np.asarray(
+        [v for v in np.unique(mask) if v != background_value]
+    )
+    channels = np.stack([mask == v for v in ids]) if len(ids) else (
+        np.zeros((0,) + mask.shape, bool)
+    )
+    return channels, ids
+
+
+def gt_object_id_weak_label_mapping(
+    gt_channels: np.ndarray,  # (G, H, W) bool
+    gt_ids: np.ndarray,  # (G,)
+    weak_channels: np.ndarray,  # (K, H, W) bool
+    weak_ids: np.ndarray,  # (K,)
+    min_threshold: float = 0.5,
+) -> "Dict[int, List[int]]":
+    """GT-region -> weak-label-object id mapping by point containment.
+
+    Port of `awesome/dataset/fbms_sequence_sample.py:779-840`
+    ``_get_gt_object_id_weak_label_mapping``: GT regions (bg added as the
+    complement channel, id 0) are ranked by pixel support descending; each
+    maps to every weak object whose points lie >= ``min_threshold`` inside
+    it, ordered by weak-object size descending.
+    """
+    g = len(gt_ids)
+    bg = ~gt_channels.any(axis=0) if g else np.ones(
+        weak_channels.shape[1:], bool
+    )
+    channels = np.concatenate([gt_channels, bg[None]], axis=0)
+    ids = np.concatenate([np.asarray(gt_ids, np.int64), [0]])
+    support = channels.reshape(len(ids), -1).sum(axis=1)
+    order = np.argsort(-support)
+
+    weak_total = weak_channels.reshape(len(weak_ids), -1).sum(axis=1)
+    weak_order = np.argsort(-weak_total)
+    mapping: Dict[int, List[int]] = {}
+    for gi in order:
+        inter = (channels[gi][None] & weak_channels).reshape(
+            len(weak_ids), -1
+        ).sum(axis=1)
+        ratio = inter / np.maximum(weak_total, 1)
+        matched = [
+            int(weak_ids[wi]) for wi in weak_order
+            if ratio[wi] >= min_threshold
+        ]
+        mapping[int(ids[gi])] = matched
+    return mapping
+
+
+def weak_label_id_gt_mapping(mapping: "Dict[int, List[int]]"
+                             ) -> "Dict[int, int]":
+    """Inverse view: weak-label id -> GT object id
+    (`fbms_sequence_sample.py:253-270`)."""
+    return {v: k for k, ys in mapping.items() for v in ys}
+
+
 # --- ground-truth description (Def.dat) ----------------------------------
 
 

@@ -59,8 +59,8 @@ def make_fused_fit_fn(
         "adam": (optim.adam_init, optim.adam_update),
     }[cfg.optimizer]
 
-    def fit(params, points, target_points, active=True):
-        weights = make_point_weights(target_points, cfg)
+    def fit(params, points, target_points, active=True, point_mask=None):
+        weights = make_point_weights(target_points, cfg, point_mask)
         packed = pack_flagship(model, params)
         wd = packed_weight_decay(model, packed, cfg.flow_weight_decay)
         opt_state = init_fn(packed)
@@ -133,10 +133,16 @@ def make_grouped_fused_fit_fn(
         "adam": (optim.adam_init, optim.adam_update),
     }[cfg.optimizer]
 
-    def fit(stacked_params, points, stacked_targets, active=True):
-        weights = jax.vmap(lambda t: make_point_weights(t, cfg))(
-            stacked_targets
-        )  # (G, N, 1)
+    def fit(stacked_params, points, stacked_targets, active=True,
+            point_masks=None):
+        if point_masks is None:
+            weights = jax.vmap(lambda t: make_point_weights(t, cfg))(
+                stacked_targets
+            )  # (G, N, 1)
+        else:
+            weights = jax.vmap(
+                lambda t, m: make_point_weights(t, cfg, m)
+            )(stacked_targets, point_masks)
         packed = jax.vmap(lambda p: pack_flagship(model, p))(stacked_params)
         wd = packed_weight_decay(model, packed, cfg.flow_weight_decay)
         opt_state = init_fn(packed)

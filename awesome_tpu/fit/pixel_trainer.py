@@ -128,7 +128,7 @@ def _make_pixel_step(wrapper, cfg: PixelTrainConfig, loss_impl=None):
     vg = jax.value_and_grad(loss_impl)
     has_clip = hasattr(wrapper, "enforce_convexity")
 
-    def step(carry, epoch, px, gt, smask, rmask):
+    def step(carry, epoch, px, gt, smask, rmask, trainable=True):
         params, opt_state, sched = carry
         extra = (
             epoch >= cfg.extra_penalty_after
@@ -151,6 +151,10 @@ def _make_pixel_step(wrapper, cfg: PixelTrainConfig, loss_impl=None):
         ok = jnp.isfinite(loss) if cfg.nan_guard else jnp.asarray(True)
         if cfg.use_plateau and cfg.lr_stop_scale > 0.0:
             ok = jnp.logical_and(ok, sched.scale > cfg.lr_stop_scale)
+        # validation holdout: a non-trainable (val) image's params are
+        # NEVER stepped — its loss is a pure forward measurement (the
+        # reference's no-grad val phase, `agent/torch_agent.py:233-243`).
+        ok = jnp.logical_and(ok, trainable)
         params = T.tree_where(ok, new_params, params)
         opt_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
@@ -191,15 +195,17 @@ def pixel_train_init(
 def make_pixel_segment_fn(
     wrapper, cfg: PixelTrainConfig, segment_len: int, loss_impl=None
 ):
-    """Build ``segment(state, px, gt, smask, rmask) -> (state, aux)``:
-    ``segment_len`` epochs for ALL images in one compiled program (vmap of
-    a per-image ``lax.scan``), resumable across calls (absolute epoch,
-    optimizer moments and plateau state live in the carry)."""
+    """Build ``segment(state, px, gt, smask, rmask, trainable) ->
+    (state, aux)``: ``segment_len`` epochs for ALL images in one compiled
+    program (vmap of a per-image ``lax.scan``), resumable across calls
+    (absolute epoch, optimizer moments and plateau state live in the
+    carry). ``trainable`` (B,) bool: False = validation holdout — the
+    image's params stay frozen, its loss is forward-only."""
     step = _make_pixel_step(wrapper, cfg, loss_impl)
 
-    def one(state: PixelTrainState, px, gt, smask, rmask):
+    def one(state: PixelTrainState, px, gt, smask, rmask, trainable):
         def body(carry, e):
-            return step(carry, e, px, gt, smask, rmask)
+            return step(carry, e, px, gt, smask, rmask, trainable)
 
         (params, opt_state, sched), loss_hist = jax.lax.scan(
             body,
@@ -211,7 +217,14 @@ def make_pixel_segment_fn(
         )
         return new_state, {"loss_hist": loss_hist, "lr_scale": sched.scale}
 
-    return jax.jit(jax.vmap(one))
+    vone = jax.jit(jax.vmap(one))
+
+    def segment(state, px, gt, smask, rmask, trainable=None):
+        if trainable is None:
+            trainable = jnp.ones((gt.shape[0],), dtype=bool)
+        return vone(state, px, gt, smask, rmask, trainable)
+
+    return segment
 
 
 def make_pixel_train_fn(wrapper, cfg: PixelTrainConfig):
@@ -270,13 +283,19 @@ def make_shared_pixel_segment_fn(
     """Segment engine for the shared-seg ('multi') mode: the seg net sees
     every image each epoch (mean loss over images -> averaged grads, the
     full-batch analogue of the reference's per-image steps), priors stay
-    per-image. One compiled program per segment."""
+    per-image. One compiled program per segment.
+
+    ``trainable`` (B,) bool implements the validation holdout: val images
+    contribute NOTHING to the shared-seg gradient (the mean is weighted by
+    the trainable mask) and their per-image priors stay frozen; their
+    losses are still computed (forward-only) so the runner can read the
+    held-out validation curve. ``aux['loss_hist']`` is per-image (B, L)."""
     _, update_fn = _pixel_optim(cfg)
     has_clip = wrapper.prior_module is not None and hasattr(
         wrapper.prior_module, "enforce_convexity"
     )
 
-    def loss_all(params, px, gt, smask, rmask, extra):
+    def losses_all(params, px, gt, smask, rmask, extra):
         has_prior = "prior" in params
 
         def per_image(prior_p, px_i, gt_i, sm_i, rm_i):
@@ -296,16 +315,23 @@ def make_shared_pixel_segment_fn(
 
         prior_stack = params.get("prior")
         if has_prior:
-            losses = jax.vmap(per_image)(prior_stack, px, gt, smask, rmask)
-        else:
-            losses = jax.vmap(
-                lambda *a: per_image(None, *a)
-            )(px, gt, smask, rmask)
-        return losses.mean()
+            return jax.vmap(per_image)(prior_stack, px, gt, smask, rmask)
+        return jax.vmap(lambda *a: per_image(None, *a))(px, gt, smask, rmask)
 
-    vg = jax.value_and_grad(loss_all)
+    def loss_for_grad(params, px, gt, smask, rmask, extra, tw):
+        losses = losses_all(params, px, gt, smask, rmask, extra)
+        # trainable-weighted mean: held-out images carry weight 0
+        train_loss = (losses * tw).sum() / jnp.maximum(tw.sum(), 1.0)
+        return train_loss, losses
 
-    def segment(state: PixelTrainState, px, gt, smask, rmask):
+    vg = jax.value_and_grad(loss_for_grad, has_aux=True)
+
+    def segment(state: PixelTrainState, px, gt, smask, rmask,
+                trainable=None):
+        if trainable is None:
+            trainable = jnp.ones((gt.shape[0],), dtype=bool)
+        tw = trainable.astype(px.dtype)
+
         def step(carry, epoch):
             params, opt_state, sched = carry
             extra = (
@@ -313,7 +339,9 @@ def make_shared_pixel_segment_fn(
                 if cfg.extra_penalty_after is not None
                 else jnp.asarray(False)
             )
-            loss, grads = vg(params, px, gt, smask, rmask, extra)
+            (loss, losses), grads = vg(
+                params, px, gt, smask, rmask, extra, tw
+            )
             lr = cfg.lr * (sched.scale if cfg.use_plateau else 1.0)
             if cfg.extra_penalty_after is not None:
                 lr = jnp.where(extra, lr * cfg.extra_penalty_lr_factor, lr)
@@ -323,6 +351,22 @@ def make_shared_pixel_segment_fn(
                     new_params,
                     prior=jax.vmap(wrapper.prior_module.enforce_convexity)(
                         new_params["prior"]
+                    ),
+                )
+            if "prior" in state.params:
+                # per-image priors of held-out images stay bit-identical
+                # (their grads are zero through the weighted mean, but the
+                # optimizer would still decay moments — mask the update)
+                def keep_frozen(new, old):
+                    m = trainable.reshape(
+                        (-1,) + (1,) * (new.ndim - 1)
+                    )
+                    return jnp.where(m, new, old)
+
+                new_params = dict(
+                    new_params,
+                    prior=jax.tree_util.tree_map(
+                        keep_frozen, new_params["prior"], params["prior"]
                     ),
                 )
             if not cfg.train_segmentation:
@@ -339,7 +383,7 @@ def make_shared_pixel_segment_fn(
                     sched, loss, factor=cfg.plateau_factor,
                     patience=cfg.plateau_patience,
                 )
-            return (params, opt_state, sched), loss
+            return (params, opt_state, sched), losses
 
         (params, opt_state, sched), loss_hist = jax.lax.scan(
             step,
@@ -349,9 +393,13 @@ def make_shared_pixel_segment_fn(
         new_state = PixelTrainState(
             params, opt_state, sched, state.epoch + segment_len
         )
-        return new_state, {"loss_hist": loss_hist, "lr_scale": sched.scale}
+        # per-image history (B, L), matching the vmapped engine's layout
+        return new_state, {
+            "loss_hist": jnp.moveaxis(loss_hist, 0, 1),
+            "lr_scale": sched.scale,
+        }
 
-    return jax.jit(segment)
+    return jax.jit(segment, static_argnames=())
 
 
 def train_pixel_models(

@@ -82,7 +82,11 @@ class FitConfig:
     fused: bool = False
 
 
-def make_point_weights(target_points: jnp.ndarray, cfg: FitConfig) -> jnp.ndarray:
+def make_point_weights(
+    target_points: jnp.ndarray,
+    cfg: FitConfig,
+    point_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Precompute per-point loss weights W so loss = sum(W * se).
 
     Two reference schemes collapse into one weighted sum:
@@ -90,19 +94,38 @@ def make_point_weights(target_points: jnp.ndarray, cfg: FitConfig) -> jnp.ndarra
       (`awesome/measures/unaries_weighted_loss.py:34`),
     - the how-to fg_weight scheme -> W = fg_w/fg_count on fg points and
       (1-fg_w)/bg_count on bg (`notebooks/how_to/convexity.ipynb` cell 9).
+
+    ``point_mask`` (N,) bool: bucket-padded points get weight 0 and are
+    excluded from every count/normalization, so a padded heterogeneous
+    batch computes EXACTLY the unpadded per-image loss (the reference is
+    shape-agnostic per image,
+    `awesome/dataset/convexity_segmentation_dataset.py:178-246`).
     """
     t = target_points
+    m = None
+    if point_mask is not None:
+        m = jnp.broadcast_to(
+            point_mask.astype(cfg.dtype).reshape(t.shape[:-1] + (1,)), t.shape
+        )
     if cfg.fg_weight is not None:
         is_bg = (t >= 0.5).astype(cfg.dtype)
+        if m is not None:
+            is_bg = is_bg * m
+            not_bg = (1.0 - (t >= 0.5).astype(cfg.dtype)) * m
+        else:
+            not_bg = 1.0 - is_bg
         bg_count = jnp.maximum(is_bg.sum(), 1.0)
-        fg_count = jnp.maximum((1.0 - is_bg).sum(), 1.0)
-        return jnp.where(
-            is_bg > 0,
+        fg_count = jnp.maximum(not_bg.sum(), 1.0)
+        w = jnp.where(
+            (t >= 0.5),
             (1.0 - cfg.fg_weight) / bg_count,
             cfg.fg_weight / fg_count,
         )
-    w = unaries_weight(t, mode=cfg.weight_mode)
-    return w / t.size
+        return w if m is None else w * m
+    w = unaries_weight(t, mode=cfg.weight_mode, mask=m)
+    if m is None:
+        return w / t.size
+    return w / jnp.maximum(m.sum(), 1.0)
 
 
 def _optim_fns(cfg: FitConfig):
@@ -158,8 +181,8 @@ def make_fit_fn(
 
     has_clip = hasattr(model, "enforce_convexity")
 
-    def fit(params, points, target_points, active=True):
-        weights = make_point_weights(target_points, cfg)
+    def fit(params, points, target_points, active=True, point_mask=None):
+        weights = make_point_weights(target_points, cfg, point_mask)
         wd_tree = make_weight_decay_tree(model, params, cfg)
         opt_state = init_fn(params)
         sched = optim.plateau_init(cfg.dtype)
@@ -227,13 +250,21 @@ def fit_prior(
     return jax.jit(fit, static_argnames=())(params, points, target_points)
 
 
-def _gate_iou(model, params, points, target_points, cfg: FitConfig):
+def _gate_iou(model, params, points, target_points, cfg: FitConfig,
+              point_mask=None):
     """Acceptance IoU: thresholded prior vs. thresholded unaries, computed
     against foreground (fg encoded as 0 -> invert), matching
-    `path_connected_net.py:784-786,964-969`."""
+    `path_connected_net.py:784-786,964-969`. Padded points are forced to
+    agree as background so they contribute to neither intersection nor
+    union of the fg IoU."""
     out = model.apply(params, points)
     prob = jax.nn.sigmoid(out) if cfg.use_sigmoid else out
-    return iou(prob > 0.5, target_points > 0.5, invert=True)
+    target = target_points
+    if point_mask is not None:
+        m = point_mask.reshape(target.shape[:-1] + (1,))
+        prob = jnp.where(m, prob, 1.0)
+        target = jnp.where(m, target, 1.0)
+    return iou(prob > 0.5, target > 0.5, invert=True)
 
 
 def fit_priors_batched(
@@ -245,6 +276,7 @@ def fit_priors_batched(
     retry_keys: Optional[jax.Array] = None,
     valid_mask: Optional[jnp.ndarray] = None,
     loss_fn: Optional[Callable] = None,
+    point_masks: Optional[jnp.ndarray] = None,
 ) -> Tuple[Params, dict]:
     """Fit ALL images' priors in one compiled program.
 
@@ -257,24 +289,32 @@ def fit_priors_batched(
       skipped (params pass through), matching `path_connected_net.py:848-855`.
     - ``retry_keys``: (B,) PRNG keys enabling the IoU-gated reset+retry
       (`path_connected_net.py:964-982`) as one extra vmapped pass.
+    - ``point_masks``: (B, N) bool for bucket-padded heterogeneous sizes —
+      padded points carry loss weight 0 and are excluded from the gate IoU.
     """
     fit = make_fit_fn(model, cfg, loss_fn)
     per_image_points = points.ndim == 3
-    in_axes = (0, 0 if per_image_points else None, 0, 0)
+    pts_ax = 0 if per_image_points else None
+    in_axes = (0, pts_ax, 0, 0) + ((0,) if point_masks is not None else ())
     batch = stacked_targets.shape[0]
     if valid_mask is None:
         valid_mask = jnp.ones((batch,), dtype=bool)
+    mask_args = (point_masks,) if point_masks is not None else ()
 
     vfit = jax.jit(jax.vmap(fit, in_axes=in_axes))
-    fitted, aux = vfit(stacked_params, points, stacked_targets, valid_mask)
+    fitted, aux = vfit(stacked_params, points, stacked_targets, valid_mask,
+                       *mask_args)
 
     gate = jnp.ones((batch,), dtype=bool)
     if cfg.gate_threshold is not None:
+        gate_axes = (0, pts_ax, 0) + (
+            (0,) if point_masks is not None else ()
+        )
         vgate = jax.jit(jax.vmap(
-            lambda p, x, t: _gate_iou(model, p, x, t, cfg),
-            in_axes=(0, 0 if per_image_points else None, 0),
+            lambda p, x, t, *m: _gate_iou(model, p, x, t, cfg, *m),
+            in_axes=gate_axes,
         ))
-        scores = vgate(fitted, points, stacked_targets)
+        scores = vgate(fitted, points, stacked_targets, *mask_args)
         gate = scores >= cfg.gate_threshold
         aux["gate_iou"] = scores
         if retry_keys is not None and cfg.gate_retries > 0:
@@ -283,9 +323,10 @@ def fit_priors_batched(
             refit_cfg = dataclasses.replace(cfg, gate_threshold=None)
             refit = make_fit_fn(model, refit_cfg, loss_fn)
             refitted, _ = jax.jit(jax.vmap(refit, in_axes=in_axes))(
-                fresh, points, stacked_targets, failed
+                fresh, points, stacked_targets, failed, *mask_args
             )
-            retry_scores = vgate(refitted, points, stacked_targets)
+            retry_scores = vgate(refitted, points, stacked_targets,
+                                 *mask_args)
             # keep the retry only where it actually ran; prefer it even if
             # still under threshold (reference keeps the last attempt).
             take_retry = failed
@@ -312,6 +353,7 @@ def fit_multi_object_priors(
     retry_keys: Optional[jax.Array] = None,  # (B, K) keys
     valid_mask: Optional[jnp.ndarray] = None,  # (B, K) bool
     loss_fn: Optional[Callable] = None,
+    point_masks: Optional[jnp.ndarray] = None,  # (B, N) bool
 ) -> Tuple[Params, dict]:
     """Fit N objects per image SIMULTANEOUSLY: the (image x object) axes
     flatten into one batch for the vmapped engine — the TPU replacement of
@@ -336,6 +378,10 @@ def fit_multi_object_priors(
         pts = jnp.repeat(points, k, axis=0)  # (B*K, N, C)
     else:
         pts = points
+    flat_pmasks = (
+        jnp.repeat(point_masks, k, axis=0) if point_masks is not None
+        else None
+    )
     fitted, aux = fit_priors_batched(
         child_model,
         flat_children,
@@ -349,6 +395,7 @@ def fit_multi_object_priors(
         if valid_mask is not None
         else None,
         loss_fn=loss_fn,
+        point_masks=flat_pmasks,
     )
     unflat = jax.tree_util.tree_map(
         lambda x: x.reshape((b, k) + x.shape[1:]), fitted
@@ -379,26 +426,29 @@ def make_sequential_fit_fn(
 
     def body(carry, xs):
         prev = carry
-        target, valid, pts = xs
-        fitted, aux = warm_fit(prev, pts, target, valid)
+        target, valid, pts = xs[:3]
+        mask_args = xs[3:]
+        fitted, aux = warm_fit(prev, pts, target, valid, *mask_args)
         carry = T.tree_where(valid, fitted, prev)
         return carry, (fitted, aux["lr_scale"])
 
     @jax.jit
-    def warm_sweep(params0, targets, valid, pts):
+    def warm_sweep(params0, targets, valid, pts, *mask_args):
         # the whole warm-start sweep is ONE compiled program — a bare
         # lax.scan outside jit would dispatch every step op eagerly
         # (measured 25x slower before this was jitted)
-        return jax.lax.scan(body, params0, (targets, valid, pts))
+        return jax.lax.scan(body, params0, (targets, valid, pts) + mask_args)
 
-    def fit(init_params, points, stacked_targets, valid_mask=None):
+    def fit(init_params, points, stacked_targets, valid_mask=None,
+            point_masks=None):
         batch = stacked_targets.shape[0]
         if valid_mask is None:
             valid_mask = jnp.ones((batch,), dtype=bool)
         per_image_points = points.ndim == 3
         pts0 = points[0] if per_image_points else points
+        cold_mask = (point_masks[0],) if point_masks is not None else ()
         params0, aux0 = cold_fit(
-            init_params, pts0, stacked_targets[0], valid_mask[0]
+            init_params, pts0, stacked_targets[0], valid_mask[0], *cold_mask
         )
         if batch > 1:
             rest_pts = (
@@ -406,8 +456,12 @@ def make_sequential_fit_fn(
                 if per_image_points
                 else jnp.broadcast_to(points, (batch - 1,) + points.shape)
             )
+            rest_masks = (
+                (point_masks[1:],) if point_masks is not None else ()
+            )
             _, (rest_params, rest_scale) = warm_sweep(
-                params0, stacked_targets[1:], valid_mask[1:], rest_pts
+                params0, stacked_targets[1:], valid_mask[1:], rest_pts,
+                *rest_masks
             )
             stacked = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b], axis=0),
@@ -431,6 +485,7 @@ def fit_priors_sequential(
     warm_cfg: Optional[FitConfig] = None,
     valid_mask: Optional[jnp.ndarray] = None,
     loss_fn: Optional[Callable] = None,
+    point_masks: Optional[jnp.ndarray] = None,
 ) -> Tuple[Params, dict]:
     """Reference-faithful *sequential* fit with warm-start carry
     (``reuse_state`` semantics, `path_connected_net.py:869-875`): image 0
@@ -442,7 +497,7 @@ def fit_priors_sequential(
     calls, build :func:`make_sequential_fit_fn` once instead.
     """
     fit = make_sequential_fit_fn(model, cfg, warm_cfg, loss_fn)
-    return fit(init_params, points, stacked_targets, valid_mask)
+    return fit(init_params, points, stacked_targets, valid_mask, point_masks)
 
 
 # --- prefits -------------------------------------------------------------

@@ -87,12 +87,18 @@ def joint_train_init(
     else:
         seg_params, seg_state = wrapper.segmentation_module.init(k_seg), None
     seg_opt = _optim(cfg.optimizer)[0](seg_params)
-    if prior_init is not None:
-        prior_params = prior_init
+    if wrapper.prior_module is None:
+        # refit-unet family: retrain the seg net alone
+        # (`config/path-connectedness/refit-unet/*.yaml` use_prior_model:
+        # false) — the prior slots are empty pytrees
+        prior_params, prior_opt = {}, {}
     else:
-        prior_keys = jax.random.split(k_prior, num_images)
-        prior_params = jax.vmap(wrapper.prior_module.init)(prior_keys)
-    prior_opt = jax.vmap(_optim(cfg.prior_optimizer)[0])(prior_params)
+        if prior_init is not None:
+            prior_params = prior_init
+        else:
+            prior_keys = jax.random.split(k_prior, num_images)
+            prior_params = jax.vmap(wrapper.prior_module.init)(prior_keys)
+        prior_opt = jax.vmap(_optim(cfg.prior_optimizer)[0])(prior_params)
     return JointTrainState(
         seg_params=seg_params,
         seg_state=seg_state,
@@ -116,8 +122,31 @@ def make_joint_train_step(
     """
     seg_upd = _optim(cfg.optimizer)[1]
     prior_upd = _optim(cfg.prior_optimizer)[1]
+    has_prior = wrapper.prior_module is not None
 
-    if loss_fn is None:
+    if loss_fn is None and not has_prior:
+        # seg-only training: sssdms-weighted BCE (WeightedLoss semantics,
+        # the refit-unet family's criterion,
+        # `config/path-connectedness/refit-unet/*.yaml` loss_type
+        # WeightedLoss(mode='sssdms'))
+        from awesome_tpu.measures.losses import bce, unaries_weighted_loss
+
+        def loss_fn(output, target, weight=None):
+            out_cf = jnp.moveaxis(output, -1, 1)
+            tgt_cf = jnp.moveaxis(target, -1, 1)
+            if weight is None:
+                return {"loss": unaries_weighted_loss(
+                    out_cf, tgt_cf, criterion=bce, mode="sssdms"
+                )}
+            per = jax.vmap(
+                lambda o, t: unaries_weighted_loss(
+                    o[None], t[None], criterion=bce, mode="sssdms"
+                )
+            )(out_cf, tgt_cf)
+            wsum = jnp.maximum(weight.sum(), 1.0)
+            return {"loss": (per * weight).sum() / wsum}
+
+    elif loss_fn is None:
 
         def loss_fn(output, target, weight=None):
             # output (B,H,W,2): [seg, prior] channels; fbms_joint_loss wants
@@ -160,6 +189,8 @@ def make_joint_train_step(
             )
             new_seg_state = seg_state
         seg = wrapper.process_segmentation_output(seg_logits)
+        if not has_prior:
+            return seg, new_seg_state
 
         def prior_one(pp, g):
             return wrapper.process_prior_output(
@@ -177,10 +208,13 @@ def make_joint_train_step(
 
     def step(state: JointTrainState, batch):
         idx = batch["index"]
-        prior_batch = T.tree_select(state.prior_params, idx)
-        prior_opt_batch = jax.tree_util.tree_map(
-            lambda x: x[idx] if x.ndim > 0 else x, state.prior_opt
-        )
+        if has_prior:
+            prior_batch = T.tree_select(state.prior_params, idx)
+            prior_opt_batch = jax.tree_util.tree_map(
+                lambda x: x[idx] if x.ndim > 0 else x, state.prior_opt
+            )
+        else:
+            prior_batch, prior_opt_batch = {}, {}
 
         weight = batch.get("weight")
 
@@ -215,6 +249,18 @@ def make_joint_train_step(
             new_seg, new_seg_opt = state.seg_params, state.seg_opt
 
         # --- per-image prior update (vmapped, scattered back) ------------
+        if not has_prior:
+            new_state = JointTrainState(
+                seg_params=new_seg,
+                seg_state=new_seg_state,
+                seg_opt=new_seg_opt,
+                prior_params=state.prior_params,
+                prior_opt=state.prior_opt,
+                step=state.step + 1,
+            )
+            return new_state, dict(
+                metrics, nan_skipped=jnp.logical_not(ok)
+            )
         wd = None
         if hasattr(wrapper.prior_module, "param_groups"):
             groups = wrapper.prior_module.param_groups(

@@ -63,7 +63,8 @@ def total_variation(img, reduction: str = "mean"):
     return _reduce(dh, reduction) + _reduce(dw, reduction)
 
 
-def unaries_weight(target, mode: str = "none", ratio: float = 1.0):
+def unaries_weight(target, mode: str = "none", ratio: float = 1.0,
+                   mask=None):
     """Class-balancing pixel weights from soft unaries.
 
     fg = target < 0.5, bg = target >= 0.5 (foreground is encoded as 0 in the
@@ -74,12 +75,23 @@ def unaries_weight(target, mode: str = "none", ratio: float = 1.0):
     - 'equal':  fg pixels weighted bg_count/fg_count
     - 'ratio':  fg pixels weighted ((bg/fg - 1) * ratio) + 1
     - 'sssdms': fg pixels weighted round((bg/fg)/10) + 1
+
+    ``mask`` (same shape as / broadcastable to ``target``): padded points
+    get weight 0 and are excluded from the class counts (pad-to-bucket +
+    mask — heterogeneous image sizes must not skew the fg/bg balance).
     """
     if mode == "none":
-        return jnp.ones_like(target)
+        ones = jnp.ones_like(target)
+        return ones if mask is None else ones * mask.astype(target.dtype)
     is_bg = (target >= 0.5).astype(target.dtype)
-    bg_count = is_bg.sum()
-    fg_count = jnp.maximum((1.0 - is_bg).sum(), 1.0)
+    if mask is not None:
+        m = jnp.broadcast_to(mask.astype(target.dtype), target.shape)
+        bg_count = (is_bg * m).sum()
+        fg_count = jnp.maximum(((1.0 - is_bg) * m).sum(), 1.0)
+    else:
+        m = None
+        bg_count = is_bg.sum()
+        fg_count = jnp.maximum((1.0 - is_bg).sum(), 1.0)
     cc = bg_count / fg_count
     if mode == "equal":
         w_fg = cc
@@ -89,7 +101,8 @@ def unaries_weight(target, mode: str = "none", ratio: float = 1.0):
         w_fg = jnp.round(cc / 10.0) + 1.0
     else:
         raise ValueError(f"Mode {mode} is not supported")
-    return jnp.where(is_bg > 0, 1.0, w_fg)
+    w = jnp.where(is_bg > 0, 1.0, w_fg)
+    return w if m is None else w * m
 
 
 def unaries_weighted_loss(

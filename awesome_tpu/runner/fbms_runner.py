@@ -85,7 +85,10 @@ class FBMSRunner:
 
     def train_joint_from_config(self, num_epochs=None, batch_size=None):
         """Run the joint experiment with the imported reference settings
-        (epochs / lr / batch size / seg training mode / loss alpha+beta)."""
+        (epochs / lr / batch size / seg training mode / loss alpha+beta /
+        prior on-off — ``use_prior_model: false`` is the refit-unet family,
+        `config/path-connectedness/refit-unet/*.yaml`: retrain the UNet
+        alone on the weak labels)."""
         cfg = self.awesome_config
         if cfg is None:
             raise ValueError("built without from_awesome_config")
@@ -103,7 +106,62 @@ class FBMSRunner:
             use_segmentation_output_inversion=(
                 cfg.use_segmentation_output_inversion
             ),
+            use_prior=cfg.use_prior_model,
         )
+
+    def run_pretrain_only_from_config(self, zoo=None, **overrides):
+        """The pretrain_only flow of the path-connectedness/sequential and
+        weight-decay families (`config/path-connectedness/sequential/*.yaml`:
+        agent_args.pretrain_only true, num_epochs 0): load the pretrain
+        state when present, else run the reuse_state sequential prior fit
+        with the configured prefits and SAVE the state — the runner port of
+        `awesome/agent/torch_agent.py:553-607`.
+
+        Returns {'loaded': bool, 'path': str, ...fit aux}.
+        """
+        import jax
+
+        from awesome_tpu.fit.checkpoint import (
+            load_prior_cache,
+            pytree_exists,
+            save_prior_cache,
+        )
+        from awesome_tpu.nn.zoo import Zoo
+
+        cfg = self.awesome_config
+        if cfg is None:
+            raise ValueError("built without from_awesome_config")
+        pa = cfg.pretrain_args or {}
+        state_path = cfg.pretrain_state_path or ""
+        if zoo is None and isinstance(pa.get("zoo"), dict):
+            folder = pa["zoo"].get("zoo_folder")
+            if folder:
+                zoo = Zoo(folder)
+        if (
+            state_path
+            and not cfg.force_pretrain
+            and pytree_exists(state_path)
+        ):
+            model = self._joint_prior_model()
+            template = jax.tree_util.tree_map(
+                lambda x: jax.numpy.broadcast_to(
+                    x, (len(self.dataset),) + x.shape
+                ),
+                model.init(jax.random.PRNGKey(cfg.seed)),
+            )
+            self.joint_prior_init = load_prior_cache(
+                state_path, template=template
+            )
+            logger.info("Pretrain state loaded from %s", state_path)
+            return {"loaded": True, "path": state_path}
+        res = self.pretrain_joint_priors_from_config(zoo=zoo, **overrides)
+        if state_path:
+            import os
+
+            os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+            save_prior_cache(self.joint_prior_init, state_path)
+            logger.info("Pretrain state saved to %s", state_path)
+        return dict(res, loaded=False, path=state_path)
 
     def pretrain_joint_priors_from_config(self, zoo=None, **overrides):
         """Per-image prior pretrain with the imported reference
@@ -118,6 +176,9 @@ class FBMSRunner:
             num_steps=int(pa.get("num_epochs", 2000)),
             reuse_state_steps=int(pa.get("reuse_state_epochs", 400)),
             lr=float(pa.get("lr", 1e-3)),
+            # the weight-decay family sweeps this knob
+            # (`config/path-connectedness/weight-decay/WD_*.yaml`)
+            flow_weight_decay=float(pa.get("flow_weight_decay", 1e-5)),
             seed=cfg.seed,
             prefit_flow_identity=bool(pa.get("prefit_flow_net_identity",
                                              False)),
@@ -267,6 +328,7 @@ class FBMSRunner:
         num_steps: int = 2000,
         reuse_state_steps: int = 400,
         lr: float = 1e-3,
+        flow_weight_decay: float = 1e-5,
         seed: int = 0,
         fused: Optional[bool] = None,
         prefit_flow_identity: bool = False,
@@ -337,6 +399,7 @@ class FBMSRunner:
             len(self.dataset), -1, 1
         )
         cfg = FitConfig(num_steps=num_steps, lr=lr, fused=fused,
+                        flow_weight_decay=flow_weight_decay,
                         nan_guard_grads=False)
         import dataclasses as _dc
 
@@ -378,19 +441,22 @@ class FBMSRunner:
             ft = jnp.asarray(
                 edge_map(np.asarray(img[0]))[None, ..., None]
             )
-            prior_i = T.tree_select(state.prior_params, idx)
+            params = {"seg": state.seg_params}
+            if wrapper.prior_module is not None:
+                params["prior"] = T.tree_select(state.prior_params, idx)
             out, _ = wrapper.apply(
-                {"seg": state.seg_params, "prior": prior_i},
+                params,
                 img, features=ft, grid=grid,
                 seg_state=state.seg_state, train=False,
             )
             seg = np.asarray(out[0, :, :, 0])
-            prior = np.asarray(out[0, :, :, 1])
             gt_fg = np.asarray(gt) < 0.5
             seg_ious.append(float(iou(
                 jnp.asarray(seg < 0.5), jnp.asarray(gt_fg))))
-            prior_ious.append(float(iou(
-                jnp.asarray(prior < 0.5), jnp.asarray(gt_fg))))
+            if out.shape[-1] > 1:
+                prior = np.asarray(out[0, :, :, 1])
+                prior_ious.append(float(iou(
+                    jnp.asarray(prior < 0.5), jnp.asarray(gt_fg))))
         return {
             "MeanForegroundBinaryMIOU": float(np.mean(seg_ious))
             if seg_ious else 0.0,
@@ -410,6 +476,7 @@ class FBMSRunner:
         alpha: float = 1.0,
         beta: float = 1.0,
         use_segmentation_output_inversion: bool = False,
+        use_prior: bool = True,
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
@@ -448,7 +515,7 @@ class FBMSRunner:
         ).astype(np.float32)
         targets = self._joint_frame_targets()
 
-        joint_prior = self._joint_prior_model()
+        joint_prior = self._joint_prior_model() if use_prior else None
         wrapper = WrapperModule(
             segmentation_module=UNet(in_chn=4, out_chn=1),
             prior_module=joint_prior,

@@ -124,9 +124,20 @@ class AwesomeRunner(Runner):
         return all(found)
 
     def _synthetic_fallback(self, args: Dict[str, Any]):
-        from awesome_tpu.data.synthetic import synthetic_convexity_dataset
+        from awesome_tpu.data.synthetic import (
+            make_sample,
+            synthetic_convexity_dataset,
+        )
 
         inner = args.get("dataset") or {}
+        shapes = args.get("shapes")
+        if shapes:
+            # heterogeneous replica: one sample per requested (h, w) —
+            # the real convexity-51 images vary in size
+            return [
+                make_sample(i, h=int(h), w=int(w))
+                for i, (h, w) in enumerate(shapes)
+            ]
         n = args.get("n") or inner.get("dataset_len") or 8
         return synthetic_convexity_dataset(
             n=int(min(n, 16)),
@@ -248,13 +259,18 @@ class AwesomeRunner(Runner):
         from awesome_tpu.data.batching import stack_padded
 
         self.build_dataset()
-        shapes = {s.shape for s in self.samples}
-        self._shape = self.samples[0].shape
-        if getattr(self, "image_mode", False) and len(shapes) > 1:
-            raise ValueError(
-                "image mode needs uniform image shapes (pad upstream); "
-                f"got {sorted(shapes)}"
+        self._shapes = [s.shape for s in self.samples]
+        if getattr(self, "image_mode", False):
+            # pad-to-bucket: heterogeneous sizes share one (Hmax, Wmax)
+            # dense grid; padded pixels carry weight 0 everywhere (the
+            # reference is shape-agnostic per image,
+            # `awesome/dataset/convexity_segmentation_dataset.py:178-246`)
+            self._shape = (
+                max(h for h, _ in self._shapes),
+                max(w for _, w in self._shapes),
             )
+        else:
+            self._shape = self.samples[0].shape
         self.build_models()
 
         if self.image_mode:
@@ -262,17 +278,25 @@ class AwesomeRunner(Runner):
             # the loss is masked to scribbles, the extra penalty to the
             # unlabeled rest (AwesomeImageLoss semantics,
             # `awesome/measures/awesome_image_loss.py:9-52`)
-            px = self._eval_pixels()  # (B, N=h*w, 5), uniform shapes
+            px = self._eval_pixels()  # (B, N=Hp*Wp, C), padded-grid layout
             b, n = px.shape[:2]
+            hp, wp = self._shape
             gt = np.ones((b, n, 1), np.float32)
             scr_mask = np.zeros((b, n), bool)
-            valid = np.ones((b, n), bool)
+            valid = np.zeros((b, n), bool)
             for i, s in enumerate(self.samples):
-                fg = s.fg_mask.reshape(-1)
-                bg = s.bg_mask.reshape(-1)
+                h, w = s.shape
+                v = np.zeros((hp, wp), bool)
+                v[:h, :w] = True
+                fg = np.zeros((hp, wp), bool)
+                fg[:h, :w] = s.fg_mask
+                bg = np.zeros((hp, wp), bool)
+                bg[:h, :w] = s.bg_mask
+                fg, bg, v = fg.reshape(-1), bg.reshape(-1), v.reshape(-1)
                 gt[i, fg, 0] = 0.0  # fg encoded as 0
                 gt[i, bg, 0] = 1.0
                 scr_mask[i] = fg | bg
+                valid[i] = v
             rnd_mask = valid & ~scr_mask
             self._batch = {
                 "px": px,
@@ -553,7 +577,13 @@ class AwesomeRunner(Runner):
             logger.info("Pretrain state loaded from %s", state_path)
             return {"loaded": True, "path": state_path}
 
-        from awesome_tpu.fit.prior_fit import FitConfig, fit_priors_batched
+        from awesome_tpu.fit.prior_fit import (
+            FitConfig,
+            fit_priors_batched,
+            fit_priors_sequential,
+            learn_convex_net,
+            learn_flow_identity,
+        )
 
         b = self._batch
         px = jnp.asarray(b["px"])
@@ -571,28 +601,109 @@ class AwesomeRunner(Runner):
                 lambda p, x: self._forward_one(p, x, evaluate_prior=False)
             )(self.stacked_params, px)
         unaries = (np.asarray(seg) >= 0.5).astype(np.float32)
+        pmask = np.asarray(b["valid"])  # (B, N) — padded points excluded
         valid = np.array(
-            [len(np.unique(u)) > 1 for u in unaries[..., 0]], dtype=bool
+            [len(np.unique(u[m])) > 1
+             for u, m in zip(unaries[..., 0], pmask)],
+            dtype=bool,
         )
+        if self.val_indices:
+            # the reference pretrains on the train split only
+            # (`path_connected_net.py:810` iterates DataLoader(train_set))
+            valid[list(self.val_indices)] = False
         pargs = dict(cfg.pretrain_args)
         fit_cfg = FitConfig(
             num_steps=int(pargs.get("num_epochs", 2000)),
             lr=float(pargs.get("lr", 1e-3)),
+            flow_weight_decay=float(pargs.get("flow_weight_decay", 1e-5)),
             gate_threshold=0.5,
             gate_retries=int(pargs.get("proper_prior_fit_retrys", 1)),
         )
         points = px[..., 0:2]
-        fitted, aux = fit_priors_batched(
-            self.wrapper.prior_module,
-            self.stacked_params["prior"],
-            points,
-            jnp.asarray(unaries),
-            fit_cfg,
-            retry_keys=jax.random.split(
-                jax.random.PRNGKey(cfg.seed + 7), len(self.samples)
-            ),
-            valid_mask=jnp.asarray(valid),
-        )
+        prior_model = self.wrapper.prior_module
+        reuse_state = bool(pargs.get("reuse_state", False))
+        if reuse_state:
+            # the sequential (reuse_state) pretrain of
+            # `path_connected_net.py:869-894`: optional flow-identity /
+            # convex prefits warm-start image 0's cold fit (Zoo-cached flow
+            # identity), then every later image starts from the previous
+            # fitted state for reuse_state_epochs steps.
+            params0 = prior_model.init(jax.random.PRNGKey(cfg.seed + 3))
+            supports_prefits = hasattr(prior_model, "flow_net") and hasattr(
+                prior_model, "convex_net"
+            )
+            pts0 = np.asarray(points[0])[np.asarray(pmask[0])]
+            if supports_prefits and pargs.get("prefit_flow_net_identity"):
+                zoo = self._pretrain_zoo(pargs)
+                zoo_name = f"flow_identity_{pts0.shape}_{cfg.seed}"
+                cached = None
+                if zoo is not None:
+                    cached, _ = zoo.load_model_state(
+                        zoo_name, prior_model.flow_net, params0["flow"]
+                    )
+                    if cached is not None:
+                        params0 = dict(params0, flow=cached)
+                if cached is None:
+                    params0, _ = learn_flow_identity(
+                        prior_model, params0, jnp.asarray(pts0),
+                        lr=float(
+                            pargs.get("prefit_flow_net_identity_lr", 1e-2)
+                        ),
+                        weight_decay=float(pargs.get(
+                            "prefit_flow_net_identity_weight_decay", 1e-5
+                        )),
+                        max_iter=int(pargs.get(
+                            "prefit_flow_net_identity_num_epochs", 100
+                        )),
+                    )
+                    if zoo is not None:
+                        zoo.save_model_state(
+                            zoo_name, prior_model.flow_net, params0["flow"]
+                        )
+            if supports_prefits and pargs.get("prefit_convex_net"):
+                # 'unaries' mode is pointwise (no dense-grid reshape), the
+                # multi-object override's choice
+                # (`multiple_object_aware_path_connected_net.py:248-259`)
+                u0 = np.asarray(unaries[0])[np.asarray(pmask[0])]
+                params0, _ = learn_convex_net(
+                    prior_model, params0, jnp.asarray(pts0),
+                    jnp.asarray(u0), mode="unaries",
+                    lr=float(pargs.get("prefit_convex_net_lr", 1e-3)),
+                    weight_decay=float(
+                        pargs.get("prefit_convex_net_weight_decay", 0.0)
+                    ),
+                    max_iter=int(
+                        pargs.get("prefit_convex_net_num_epochs", 200)
+                    ),
+                )
+            warm_cfg = dataclasses.replace(
+                fit_cfg,
+                num_steps=int(pargs.get("reuse_state_epochs", 200)),
+                gate_threshold=None,
+            )
+            fitted, aux = fit_priors_sequential(
+                prior_model,
+                params0,
+                points,
+                jnp.asarray(unaries),
+                dataclasses.replace(fit_cfg, gate_threshold=None),
+                warm_cfg=warm_cfg,
+                valid_mask=jnp.asarray(valid),
+                point_masks=jnp.asarray(pmask),
+            )
+        else:
+            fitted, aux = fit_priors_batched(
+                prior_model,
+                self.stacked_params["prior"],
+                points,
+                jnp.asarray(unaries),
+                fit_cfg,
+                retry_keys=jax.random.split(
+                    jax.random.PRNGKey(cfg.seed + 7), len(self.samples)
+                ),
+                valid_mask=jnp.asarray(valid),
+                point_masks=jnp.asarray(pmask),
+            )
         self.stacked_params = dict(self.stacked_params, prior=fitted)
         os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
         save_prior_cache(fitted, state_path)
@@ -610,6 +721,17 @@ class AwesomeRunner(Runner):
             # get_final_save_handle(compute_crf=...))
             result["metrics"] = self.evaluate(compute_crf=True)
         return result
+
+    def _pretrain_zoo(self, pargs: Dict[str, Any]):
+        """Zoo instance from pretrain_args (the reference nests
+        ``zoo: {zoo_folder: ...}`` there,
+        `config/path-connectedness/sequential/*.yaml`)."""
+        z = pargs.get("zoo")
+        if isinstance(z, dict) and z.get("zoo_folder"):
+            from awesome_tpu.nn.zoo import Zoo
+
+            return Zoo(z["zoo_folder"])
+        return z if hasattr(z, "load_model_state") else None
 
     # --- train -----------------------------------------------------------
     def _penalty_scales(self):
@@ -712,6 +834,16 @@ class AwesomeRunner(Runner):
                 self.wrapper, tcfg, seg_len, loss_impl=self._make_loss_impl()
             )
 
+        # validation holdout: val images' params are NEVER stepped (and in
+        # 'multi' mode contribute nothing to the shared-seg gradient); their
+        # per-epoch losses are pure forward measurements. Spec:
+        # `awesome/dataset/separable_dataset.py:10-105` +
+        # `awesome/agent/torch_agent.py:233-243` (no-grad val phase).
+        trainable = np.ones((len(self.samples),), bool)
+        if self.val_indices:
+            trainable[list(self.val_indices)] = False
+        trainable = jnp.asarray(trainable)
+
         # training_starts handles: initial eval metrics (+ CRF if configured)
         if cfg.compute_metrics_during_training_nth_epoch:
             self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
@@ -720,16 +852,14 @@ class AwesomeRunner(Runner):
         loss_chunks = []
         stopped_early = False
         for seg_i in range(num_epochs // seg_len):
-            state, aux = segment(state, px, gt, smask, rmask)
+            state, aux = segment(state, px, gt, smask, rmask, trainable)
             self.stacked_params = state.params
             epoch = (seg_i + 1) * seg_len
-            loss_hist = np.asarray(aux["loss_hist"])  # (B, L) or (L,)
-            if loss_hist.ndim == 1:
-                loss_hist = loss_hist[None, :]
+            loss_hist = np.asarray(aux["loss_hist"])  # (B, L)
             loss_chunks.append(loss_hist)
             per_epoch = loss_hist.mean(axis=0)
             for e in range(seg_len):
-                if self.train_indices and self.val_indices and not shared_mode:
+                if self.train_indices and self.val_indices:
                     self.tracker.epoch_metric(
                         "Loss",
                         loss_hist[self.train_indices, e].mean(),
@@ -852,8 +982,7 @@ class AwesomeRunner(Runner):
                 continue
             s = self.samples[index]
             h, w = s.shape
-            n = h * w
-            out = outputs[index, :n]
+            out = self._crop_output(outputs, index)
             seg = out[:, 0].reshape(h, w)
             prior = (
                 out[:, 1].reshape(h, w) if out.shape[1] > 1 else None
@@ -872,27 +1001,47 @@ class AwesomeRunner(Runner):
             )
 
     # --- eval ------------------------------------------------------------
+    def _dense_px(self, s, pad_shape=None) -> np.ndarray:
+        """Dense encoded pixel matrix of one image, layout (y, x, r, g, b)
+        with the xytype encoding applied. ``pad_shape`` (Hp, Wp) emits the
+        PADDED-grid layout (the image at [:h, :w], zero rgb elsewhere; xy
+        keeps the image's own normalization so the valid region spans the
+        reference's coordinate range)."""
+        h, w = s.shape
+        if pad_shape is None:
+            yy, xx = np.mgrid[0:h, 0:w]
+            rgb = s.image.reshape(-1, 3)
+        else:
+            hp, wp = pad_shape
+            yy, xx = np.mgrid[0:hp, 0:wp]
+            rgb = np.zeros((hp, wp, 3), np.float32)
+            rgb[:h, :w] = s.image
+            rgb = rgb.reshape(-1, 3)
+        norm = np.stack([yy / h - 0.5, xx / w - 0.5], -1).reshape(-1, 2)
+        return self._encode_px(
+            s, np.concatenate([norm, rgb], axis=-1).astype(np.float32)
+        )
+
     def _eval_pixels(self) -> np.ndarray:
         """Dense full-grid pixel matrices for every image, padded to a
-        shared bucket: (B, Nmax, 5) with layout (y, x, r, g, b)."""
+        shared bucket: (B, Nmax, C) with layout (y, x, r, g, b).
+
+        Pixel mode: each image's h*w rows come first, zero rows trail
+        (so ``out[i, :h*w].reshape(h, w)`` is exact). Image mode: the
+        PADDED-grid layout of ``self._shape`` = (Hmax, Wmax) so the conv
+        seg net sees one static shape; crop ``[:h, :w]`` after reshape."""
         if getattr(self, "_eval_px", None) is not None:
             return self._eval_px
-        mats = []
-        for s in self.samples:
-            h, w = s.shape
-            yy, xx = np.mgrid[0:h, 0:w]
-            norm = np.stack([yy / h - 0.5, xx / w - 0.5], -1).reshape(-1, 2)
-            rgb = s.image.reshape(-1, 3)
-            mats.append(
-                self._encode_px(
-                    s,
-                    np.concatenate([norm, rgb], axis=-1).astype(np.float32),
-                )
-            )
-        n_max = max(m.shape[0] for m in mats)
-        px = np.zeros((len(mats), n_max, mats[0].shape[1]), np.float32)
-        for i, m in enumerate(mats):
-            px[i, : m.shape[0]] = m
+        if getattr(self, "image_mode", False):
+            mats = [self._dense_px(s, pad_shape=self._shape)
+                    for s in self.samples]
+            px = np.stack(mats).astype(np.float32)
+        else:
+            mats = [self._dense_px(s) for s in self.samples]
+            n_max = max(m.shape[0] for m in mats)
+            px = np.zeros((len(mats), n_max, mats[0].shape[1]), np.float32)
+            for i, m in enumerate(mats):
+                px[i, : m.shape[0]] = m
         self._eval_px = px
         return px
 
@@ -919,6 +1068,16 @@ class AwesomeRunner(Runner):
             out = out[..., None]
         return np.asarray(out)
 
+    def _crop_output(self, outputs: np.ndarray, i: int) -> np.ndarray:
+        """Extract image i's (h*w, C) rows from the stacked eval output,
+        undoing the pad-to-bucket layout (trailing rows in pixel mode, the
+        2D padded grid in image mode)."""
+        h, w = self.samples[i].shape
+        if getattr(self, "image_mode", False):
+            hp, wp = self._shape
+            return outputs[i].reshape(hp, wp, -1)[:h, :w].reshape(h * w, -1)
+        return outputs[i, : h * w]
+
     def evaluate(
         self, compute_crf: Optional[bool] = None, params=None
     ) -> Dict[str, float]:
@@ -935,8 +1094,7 @@ class AwesomeRunner(Runner):
         seg_ious, prior_ious, accs, crf_ious = [], [], [], []
         for i, s in enumerate(self.samples):
             h, w = s.shape
-            n = h * w
-            out = outputs[i, :n]
+            out = self._crop_output(outputs, i)
             seg, prior = out[:, 0:1], (
                 out[:, 1:2] if out.shape[1] > 1 else None
             )
@@ -970,6 +1128,26 @@ class AwesomeRunner(Runner):
             )
         if crf_ious:
             metrics["CRFMeanForegroundBinaryMIOU"] = float(np.mean(crf_ious))
+        # split-aware variants: the reference reports eval metrics per
+        # train/val dataloader (`awesome/util/tensorboard.py:59-122` tag
+        # scheme); held-out images get their own means.
+        if self.train_indices and self.val_indices:
+            per_image = {
+                "MeanForegroundBinaryMIOU": seg_ious,
+                "MeanPixelAccuracy": accs,
+            }
+            if prior_ious:
+                per_image["PriorMeanForegroundBinaryMIOU"] = prior_ious
+            if crf_ious:
+                per_image["CRFMeanForegroundBinaryMIOU"] = crf_ious
+            for k, vals in per_image.items():
+                vals = np.asarray(vals)
+                metrics[f"train/{k}"] = float(
+                    vals[list(self.train_indices)].mean()
+                )
+                metrics[f"val/{k}"] = float(
+                    vals[list(self.val_indices)].mean()
+                )
         for k, v in metrics.items():
             self.tracker.epoch_metric(k, v, "eval")
         return metrics
@@ -990,31 +1168,28 @@ class AwesomeRunner(Runner):
         import jax
         import jax.numpy as jnp
 
-        from awesome_tpu.core import grids as G
-        from awesome_tpu.core import tree as T
+        from awesome_tpu.data.batching import stack_padded
         from awesome_tpu.fit.prior_fit import FitConfig, fit_priors_batched
 
-        h, w = self.samples[0].shape
+        # one vmapped device call gives every image's trained seg unaries
+        # (handles 'single'/'multi'/'none' modes and both input modes)
+        outputs = self._forward_all()
         pts_list, target_list, valid = [], [], []
         for i, s in enumerate(self.samples):
-            yy, xx = np.mgrid[0:h, 0:w]
-            norm = np.stack([yy / h - 0.5, xx / w - 0.5], -1).reshape(-1, 2)
-            rgb = s.image.reshape(-1, 3)
-            px = self._encode_px(
-                s, np.concatenate([norm, rgb], -1).astype(np.float32)
-            )
-            # prior query points = the encoding's leading channels (xy, or
-            # the feature space for xytype='feat')
-            norm = px[:, 0:2]
-            params_i = T.tree_select(self.stacked_params, i)
-            seg = self._forward_one(
-                params_i, jnp.asarray(px), evaluate_prior=False
-            )
-            unaries = np.asarray(seg).reshape(-1, 1)
-            pts_list.append(norm.astype(np.float32))
-            target_list.append((unaries >= 0.5).astype(np.float32))
-            u = np.unique(unaries >= 0.5)
-            valid.append(len(u) > 1)
+            # per-image dense grid at the image's OWN shape; prior query
+            # points = the encoding's leading channels (xy, or the feature
+            # space for xytype='feat')
+            px = self._dense_px(s)
+            seg = self._crop_output(outputs, i)[:, 0:1]
+            target = (seg >= 0.5).astype(np.float32)
+            pts_list.append(px[:, 0:2].astype(np.float32))
+            target_list.append(target)
+            valid.append(len(np.unique(target)) > 1)
+
+        # heterogeneous sizes: bucket-pad the per-image point lists; padded
+        # points carry loss weight 0 and are excluded from the gate IoU
+        pts, masks = stack_padded(pts_list)
+        targets, _ = stack_padded(target_list)
 
         prior_model = self.wrapper.prior_module
         # warm start from the jointly-trained priors when present, else
@@ -1033,13 +1208,14 @@ class AwesomeRunner(Runner):
         fitted, aux = fit_priors_batched(
             prior_model,
             prior_stack,
-            jnp.asarray(np.stack(pts_list)),
-            jnp.asarray(np.stack(target_list)),
+            jnp.asarray(pts),
+            jnp.asarray(targets),
             cfg,
             retry_keys=jax.random.split(
                 jax.random.PRNGKey(self.config.seed + 1), len(self.samples)
             ),
             valid_mask=jnp.asarray(valid),
+            point_masks=jnp.asarray(masks),
         )
         # write the refit priors back into the stacked wrapper params
         self.stacked_params = dict(self.stacked_params, prior=fitted)
