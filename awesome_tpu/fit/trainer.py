@@ -321,6 +321,325 @@ def make_joint_train_step(
     return step
 
 
+# --- multi-object joint training ------------------------------------------
+
+
+class MultiObjectTrainState(NamedTuple):
+    """Joint training state for multi-object sequences: the shared seg net
+    emits one channel per object slot; each frame carries a STACK of K
+    child priors (static capacity, `nn.multi_prior.MultiPriorModule`) with
+    per-slot optimizer moments and an active mask. Growth
+    (``assure_prior_count``) re-initializes inactive slots host-side
+    between compiled segments — the functional equivalent of the
+    reference's dynamic child modules synced into the optimizer
+    (`awesome/run/awesome_runner.py:460-490` _alter_optimizer +
+    `abstract_multi_prior_module.py:55-74`)."""
+
+    seg_params: Params
+    seg_state: Any
+    seg_opt: Any
+    prior_params: Params  # {'children': (T, K, ...)}
+    prior_opt: Any  # per-(frame, child) moments, count (T, K)
+    active: jnp.ndarray  # (T, K) bool
+    step: jnp.ndarray
+
+
+def multi_object_train_init(
+    wrapper,
+    key: jax.Array,
+    num_images: int,
+    cfg: JointTrainConfig,
+    initial_count: int = 1,
+    seg_init=None,
+    prior_init=None,
+) -> MultiObjectTrainState:
+    """``wrapper.prior_module`` must be a ``MultiPriorModule`` (capacity
+    ``max_priors``); the seg module must emit ``max_priors`` channels.
+    ``initial_count`` activates the first slots of every frame."""
+    mp = wrapper.prior_module
+    k_seg, k_prior = jax.random.split(key)
+    if seg_init is not None:
+        seg_params, seg_state = seg_init
+    elif wrapper.seg_stateful:
+        seg_params, seg_state = wrapper.segmentation_module.init(k_seg)
+    else:
+        seg_params, seg_state = wrapper.segmentation_module.init(k_seg), None
+    seg_opt = _optim(cfg.optimizer)[0](seg_params)
+    if prior_init is not None:
+        prior_params = prior_init
+    else:
+        keys = jax.random.split(k_prior, num_images)
+        prior_params = jax.vmap(mp.init)(keys)  # {'children': (T, K, ...)}
+    child_init = _optim(cfg.prior_optimizer)[0]
+    prior_opt = jax.vmap(jax.vmap(child_init))(prior_params["children"])
+    active = jnp.zeros((num_images, mp.max_priors), bool).at[
+        :, :initial_count
+    ].set(True)
+    return MultiObjectTrainState(
+        seg_params=seg_params,
+        seg_state=seg_state,
+        seg_opt=seg_opt,
+        prior_params=prior_params,
+        prior_opt=prior_opt,
+        active=active,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def assure_multi_prior_count(
+    wrapper,
+    state: MultiObjectTrainState,
+    cfg: JointTrainConfig,
+    count: int,
+    key: jax.Array,
+) -> MultiObjectTrainState:
+    """Grow every frame's active child count to ``count``: inactive slots
+    below ``count`` get FRESH child params and ZEROED optimizer moments
+    (a newly-added torch param group starts with lazy-zero Adam state —
+    `awesome/run/awesome_runner.py:477-490`); existing children and their
+    moments are untouched. Shrinking just lowers the active mask.
+
+    Host-side between compiled segments (one re-jit per new active
+    pattern at most; the step itself masks by ``active`` so the compiled
+    program is count-independent)."""
+    mp = wrapper.prior_module
+    if count > mp.max_priors:
+        raise ValueError(
+            f"count {count} exceeds static capacity {mp.max_priors}"
+        )
+    t = state.active.shape[0]
+    slot = jnp.arange(mp.max_priors)[None, :]
+    target = slot < count  # (1, K) broadcast over frames
+    need_fresh = jnp.logical_and(~state.active, jnp.broadcast_to(
+        target, state.active.shape
+    ))
+    fresh = jax.vmap(mp.init)(jax.random.split(key, t))
+    child_init = _optim(cfg.prior_optimizer)[0]
+    fresh_opt = jax.vmap(jax.vmap(child_init))(fresh["children"])
+
+    def mix(new, old):
+        m = need_fresh.reshape(need_fresh.shape + (1,) * (old.ndim - 2))
+        return jnp.where(m, new, old)
+
+    children = jax.tree_util.tree_map(
+        mix, fresh["children"], state.prior_params["children"]
+    )
+    prior_opt = jax.tree_util.tree_map(
+        mix, fresh_opt, state.prior_opt
+    )
+    return state._replace(
+        prior_params=dict(state.prior_params, children=children),
+        prior_opt=prior_opt,
+        active=jnp.broadcast_to(target, state.active.shape),
+    )
+
+
+def make_multi_object_train_step(
+    wrapper,
+    cfg: JointTrainConfig,
+) -> Callable:
+    """Build ``step(state, batch) -> (state, metrics)`` for multi-object
+    joint training.
+
+    ``batch``: 'image' (B,H,W,C), 'features' (B,H,W,F), 'grid' (N,2) or
+    (B,N,2), 'target_obj' (B,H,W,K) per-object unaries (fg=0 per channel),
+    'labeled' (B,H,W) bool supervision mask, 'index' (B,), optional
+    'weight' (B,).
+
+    Loss per ACTIVE object k: sssdms-weighted BCE(seg_k, target_k) over
+    labeled pixels + beta * soft-clipped SE(prior_k, seg_k) — the
+    FBMSJointLoss applied per object and averaged over active slots
+    (`awesome/measures/fbms_joint_loss.py:34-59` with the multi-channel
+    output of `multiple_object_aware_path_connected_net.py`).
+    """
+    from awesome_tpu.measures.losses import bce, se, unaries_weight
+
+    seg_upd = _optim(cfg.optimizer)[1]
+    prior_upd = _optim(cfg.prior_optimizer)[1]
+    mp = wrapper.prior_module
+
+    def forward(seg_params, children_batch, seg_state, batch):
+        image, feats, grid = batch["image"], batch["features"], batch["grid"]
+        if wrapper.seg_stateful:
+            seg_logits, new_seg_state = wrapper.segmentation_module.apply(
+                seg_params, seg_state, image, feats,
+                train=cfg.train_segmentation,
+            )
+        else:
+            seg_logits = wrapper.segmentation_module.apply(
+                seg_params, image, feats
+            )
+            new_seg_state = seg_state
+        seg = wrapper.process_segmentation_output(seg_logits)  # (B,H,W,K)
+
+        def prior_one(children, g):
+            out = mp.apply({"children": children}, g)  # (N, K)
+            return wrapper.process_prior_output(out)
+
+        grid_axes = 0 if grid.ndim == 3 else None
+        prior_pts = jax.vmap(prior_one, in_axes=(0, grid_axes))(
+            children_batch, grid
+        )  # (B, N, K)
+        b, h, w, k = seg.shape
+        prior_img = prior_pts.reshape(b, h, w, k)
+        return seg, prior_img, new_seg_state
+
+    def object_loss(seg_k, prior_k, tgt_k, labeled):
+        """One object's FBMSJointLoss terms (per image)."""
+        w = unaries_weight(tgt_k, mode="sssdms", mask=labeled)
+        raw = bce(seg_k, tgt_k, reduction="none")
+        seg_loss = cfg.alpha * (raw * w).sum() / jnp.maximum(w.sum(), 1.0)
+        pen = cfg.beta * jnp.mean((prior_k - seg_k) ** 2)
+        if cfg.clip_penalty:
+            scale = jax.lax.stop_gradient(jnp.where(
+                pen > seg_loss,
+                seg_loss / jnp.maximum(pen, 1e-12),
+                1.0,
+            ))
+            pen = pen * scale
+        return seg_loss + pen
+
+    def step(state: MultiObjectTrainState, batch):
+        idx = batch["index"]
+        children_batch = jax.tree_util.tree_map(
+            lambda x: x[idx], state.prior_params["children"]
+        )
+        opt_batch = jax.tree_util.tree_map(
+            lambda x: x[idx], state.prior_opt
+        )
+        active_b = state.active[idx]  # (B, K)
+        weight = batch.get("weight")
+        labeled = batch["labeled"].astype(batch["image"].dtype)
+
+        def compute_loss(seg_params, children_batch):
+            seg, prior, new_seg_state = forward(
+                seg_params, children_batch, state.seg_state, batch
+            )
+            tgt = batch["target_obj"]  # (B, H, W, K)
+
+            def per_image(seg_i, prior_i, tgt_i, lab_i, act_i):
+                per_obj = jax.vmap(
+                    lambda k_: object_loss(
+                        seg_i[..., k_], prior_i[..., k_], tgt_i[..., k_],
+                        lab_i,
+                    )
+                )(jnp.arange(seg_i.shape[-1]))
+                a = act_i.astype(seg_i.dtype)
+                return (per_obj * a).sum() / jnp.maximum(a.sum(), 1.0)
+
+            per = jax.vmap(per_image)(seg, prior, tgt, labeled, active_b)
+            if weight is not None:
+                loss = (per * weight).sum() / jnp.maximum(weight.sum(), 1.0)
+            else:
+                loss = per.mean()
+            return loss, new_seg_state
+
+        (loss, new_seg_state), (seg_g, child_g) = jax.value_and_grad(
+            compute_loss, argnums=(0, 1), has_aux=True
+        )(state.seg_params, children_batch)
+
+        ok = jnp.isfinite(loss) if cfg.nan_guard else jnp.asarray(True)
+
+        if cfg.train_segmentation:
+            new_seg, new_seg_opt = seg_upd(
+                state.seg_params, seg_g, state.seg_opt, cfg.lr
+            )
+            new_seg = T.tree_where(ok, new_seg, state.seg_params)
+            new_seg_opt = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_seg_opt, state.seg_opt
+            )
+        else:
+            new_seg, new_seg_opt = state.seg_params, state.seg_opt
+
+        wd = None
+        if hasattr(mp.child, "param_groups"):
+            groups = mp.child.param_groups(
+                jax.tree_util.tree_map(lambda x: x[0, 0], children_batch)
+            )
+            wd = jax.tree_util.tree_map(
+                lambda s: cfg.flow_weight_decay if s == "flow" else 0.0,
+                groups,
+            )
+
+        def upd_child(pp, g, op):
+            new_pp, new_op = prior_upd(pp, g, op, cfg.prior_lr,
+                                       weight_decay=wd)
+            if hasattr(mp.child, "enforce_convexity"):
+                new_pp = mp.child.enforce_convexity(new_pp)
+            return new_pp, new_op
+
+        new_children, new_opt = jax.vmap(jax.vmap(upd_child))(
+            children_batch, child_g, opt_batch
+        )
+        # inactive slots and padded samples keep their gathered values
+        keep = active_b
+        if weight is not None:
+            keep = jnp.logical_and(keep, (weight > 0)[:, None])
+        keep = jnp.logical_and(keep, ok)
+
+        def keep_live(new, old):
+            m = keep.reshape(keep.shape + (1,) * (new.ndim - 2))
+            return jnp.where(m, new, old)
+
+        new_children = jax.tree_util.tree_map(
+            keep_live, new_children, children_batch
+        )
+        new_opt = jax.tree_util.tree_map(keep_live, new_opt, opt_batch)
+
+        scattered = jax.tree_util.tree_map(
+            lambda s, v: s.at[idx].set(v),
+            state.prior_params["children"],
+            new_children,
+        )
+        scattered_opt = jax.tree_util.tree_map(
+            lambda s, v: s.at[idx].set(v), state.prior_opt, new_opt
+        )
+        new_state = MultiObjectTrainState(
+            seg_params=new_seg,
+            seg_state=new_seg_state,
+            seg_opt=new_seg_opt,
+            prior_params=dict(state.prior_params, children=scattered),
+            prior_opt=scattered_opt,
+            active=state.active,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss,
+                           "nan_skipped": jnp.logical_not(ok)}
+
+    return step
+
+
+def make_multi_object_epoch_fn(
+    wrapper,
+    cfg: JointTrainConfig,
+) -> Callable:
+    """``epoch(state, data, idx_mat, wgt_mat) -> (state, metrics)``: one
+    compiled scan of the multi-object joint step over the permuted batch
+    plan. ``data``: 'image' (T,H,W,C), 'features' (T,H,W,F), 'grid',
+    'target_obj' (T,H,W,K), 'labeled' (T,H,W)."""
+    step = make_multi_object_train_step(wrapper, cfg)
+
+    def epoch(state, data, idx_mat, wgt_mat):
+        per_frame_grid = data["grid"].ndim == 3
+
+        def body(st, xs):
+            idx, wgt = xs
+            batch = {
+                "image": data["image"][idx],
+                "features": data["features"][idx],
+                "grid": data["grid"][idx] if per_frame_grid else data["grid"],
+                "target_obj": data["target_obj"][idx],
+                "labeled": data["labeled"][idx],
+                "index": idx,
+                "weight": wgt,
+            }
+            return step(st, batch)
+
+        return jax.lax.scan(body, state, (idx_mat, wgt_mat))
+
+    return epoch
+
+
 def epoch_batches(num_images: int, batch_size: int, rng) -> Tuple[Any, Any]:
     """Permuted, bucket-padded batch plan for one epoch.
 

@@ -465,6 +465,237 @@ class FBMSRunner:
             "num_gt_frames": len(seg_ious),
         }
 
+    def train_joint_multi_object(
+        self,
+        max_objects: int = 2,
+        initial_count: Optional[int] = None,
+        grow_at_epoch: Optional[Dict[int, int]] = None,
+        num_epochs: int = 15,
+        lr: float = 1e-4,
+        prior_lr: float = 1e-4,
+        batch_size: Optional[int] = None,
+        seed: int = 0,
+        train_segmentation: bool = True,
+        alpha: float = 1.0,
+        beta: float = 1.0,
+        pretrain_steps: int = 0,
+        refit_grown_steps: Optional[int] = None,
+        pretrain_weight_mode: str = "equal",
+    ) -> Dict:
+        """Multi-object joint training: a shared UNet with one output
+        channel per object slot + per-frame child priors
+        (`nn.multi_prior.MultiPriorModule`), per-object unaries from the
+        trajectory weak labels, dynamic growth between epochs.
+
+        ``pretrain_steps`` > 0 first fits every ACTIVE child against its
+        object's weak unaries via the batched multi-object engine
+        (`fit.prior_fit.fit_multi_object_priors`) — the reference always
+        pretrains children before joint training
+        (`multiple_object_aware_path_connected_net.py:68-370`).
+
+        ``grow_at_epoch``: {epoch_index: new_count} growth events — fresh
+        child slots + zeroed optimizer moments, the reference's dynamic
+        prior->optimizer sync (`awesome/run/awesome_runner.py:460-490`);
+        grown slots are refitted against their object's unaries for
+        ``refit_grown_steps`` (defaults to ``pretrain_steps``), matching
+        the reference's assure_prior_count-then-fit flow
+        (`multiple_object_aware_path_connected_net.py:186-218`).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.core import grids as G
+        from awesome_tpu.data.image_sample import edge_map
+        from awesome_tpu.fit.prior_fit import (
+            FitConfig,
+            fit_multi_object_priors,
+        )
+        from awesome_tpu.fit.trainer import (
+            JointTrainConfig,
+            assure_multi_prior_count,
+            epoch_batches,
+            make_multi_object_epoch_fn,
+            multi_object_train_init,
+        )
+        from awesome_tpu.nn.multi_prior import MultiPriorModule
+        from awesome_tpu.nn.seg import UNet
+        from awesome_tpu.nn.wrapper import WrapperModule
+
+        t = len(self.dataset)
+        h, w = self.shape
+        images = np.stack(
+            [self.dataset.load_frame(i) for i in range(t)]
+        ).astype(np.float32)
+        feats = np.stack(
+            [edge_map(images[i])[..., None] for i in range(t)]
+        ).astype(np.float32)
+        target_obj = np.ones((t, h, w, max_objects), np.float32)
+        labeled = np.zeros((t, h, w), bool)
+        for i in range(t):
+            s = self.dataset.sample_multi(i, max_objects=max_objects)
+            target_obj[i] = np.moveaxis(s["object_unaries"], 0, -1)
+            labeled[i] = s["labeled"]
+
+        mp = MultiPriorModule(
+            child=self._joint_prior_model(), max_priors=max_objects
+        )
+        wrapper = WrapperModule(
+            segmentation_module=UNet(in_chn=4, out_chn=max_objects),
+            prior_module=mp,
+            input_mode="image",
+            prior_arg_mode="param_clean_grid",
+            seg_stateful=True,
+        )
+        cfg = JointTrainConfig(
+            lr=lr, prior_lr=prior_lr, alpha=alpha, beta=beta,
+            train_segmentation=train_segmentation,
+        )
+        state = multi_object_train_init(
+            wrapper, jax.random.PRNGKey(seed), t, cfg,
+            initial_count=initial_count or max_objects,
+        )
+        grid_pts = G.flatten_grid(G.pixel_grid((h, w)))
+        # per-object point targets for the child fits: unlabeled -> bg
+        obj_pt_targets = jnp.asarray(
+            np.where(
+                labeled[:, None], np.moveaxis(target_obj, -1, 1), 1.0
+            ).reshape(t, max_objects, h * w, 1).astype(np.float32)
+        )
+
+        def fit_children(state, steps, slots_mask):
+            """Fit the masked (frame, slot) children against their
+            object's unaries; optimizer moments stay zeroed (the joint
+            optimizer is created fresh after pretrain)."""
+            # 'equal' class weights: the per-object targets are SPARSE
+            # trajectory points (a few % fg), unlike the reference's dense
+            # seg unaries — unweighted SE would collapse to all-bg
+            # (UnariesWeightedLoss mode knob,
+            # `awesome/measures/unaries_weighted_loss.py:34`)
+            fitted, _ = fit_multi_object_priors(
+                mp.child,
+                state.prior_params["children"],
+                grid_pts,
+                obj_pt_targets,
+                FitConfig(num_steps=steps, lr=1e-3,
+                          weight_mode=pretrain_weight_mode,
+                          nan_guard_grads=False),
+                valid_mask=slots_mask,
+            )
+            return state._replace(
+                prior_params=dict(state.prior_params, children=fitted)
+            )
+
+        if pretrain_steps:
+            state = fit_children(state, pretrain_steps, state.active)
+        epoch_fn = jax.jit(make_multi_object_epoch_fn(wrapper, cfg))
+        data = {
+            "image": jnp.asarray(images),
+            "features": jnp.asarray(feats),
+            "grid": grid_pts,
+            "target_obj": jnp.asarray(target_obj),
+            "labeled": jnp.asarray(labeled),
+        }
+        rng = np.random.default_rng(seed)
+        bs = min(batch_size or 1, t)
+        losses = []
+        growth_events = []
+        for e in range(num_epochs):
+            if grow_at_epoch and e in grow_at_epoch:
+                new_count = int(grow_at_epoch[e])
+                prev_active = state.active
+                state = assure_multi_prior_count(
+                    wrapper, state, cfg, new_count,
+                    jax.random.PRNGKey(seed + 1000 + e),
+                )
+                refit = (refit_grown_steps if refit_grown_steps is not None
+                         else pretrain_steps)
+                if refit:
+                    fresh_slots = jnp.logical_and(
+                        state.active, ~prev_active
+                    )
+                    state = fit_children(state, refit, fresh_slots)
+                growth_events.append((e, new_count))
+            idx_mat, wgt_mat = epoch_batches(t, bs, rng)
+            state, metrics = epoch_fn(
+                state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat)
+            )
+            losses.append(metrics["loss"])
+        self.multi_state = jax.block_until_ready(state)
+        self.multi_wrapper = wrapper
+        return {
+            "loss": [float(v) for m in losses for v in np.asarray(m).ravel()],
+            "growth_events": growth_events,
+        }
+
+    def evaluate_multi_object(self) -> Dict[str, Any]:
+        """Per-object IoU of the trained multi-object model on GT frames:
+        prior channel k scored against the GT region its weak-label object
+        maps to (`fbms_sequence_dataset.py:518-554` id mapping)."""
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.core import grids as G
+        from awesome_tpu.data.fbms import weak_label_id_gt_mapping
+        from awesome_tpu.data.image_sample import edge_map
+        from awesome_tpu.measures.metrics import iou
+
+        state = self.multi_state
+        wrapper = self.multi_wrapper
+        mp = wrapper.prior_module
+        h, w = self.shape
+        grid = G.flatten_grid(G.pixel_grid((h, w)))
+        per_object: Dict[int, List[float]] = {}
+        seg_per_object: Dict[int, List[float]] = {}
+        for idx in self.dataset.get_ground_truth_indices():
+            gtc, gt_ids = self.dataset.load_ground_truth_channels(idx)
+            if gtc.size == 0:
+                continue
+            mapping = weak_label_id_gt_mapping(
+                self.dataset.object_id_mapping(idx)
+            )
+            s = self.dataset.sample_multi(idx, max_objects=mp.max_priors)
+            img = jnp.asarray(
+                self.dataset.load_frame(idx)[None].astype(np.float32)
+            )
+            ft = jnp.asarray(edge_map(np.asarray(img[0]))[None, ..., None])
+            children = jax.tree_util.tree_map(
+                lambda x: x[idx], state.prior_params["children"]
+            )
+            seg_logits, _ = wrapper.segmentation_module.apply(
+                state.seg_params, state.seg_state, img, ft, train=False
+            )
+            seg = np.asarray(
+                wrapper.process_segmentation_output(seg_logits)
+            )[0]
+            prior = np.asarray(
+                wrapper.process_prior_output(
+                    mp.apply({"children": children}, grid)
+                )
+            ).reshape(h, w, -1)
+            active = np.asarray(state.active[idx])
+            gt_by_id = {int(g): gtc[j] for j, g in enumerate(gt_ids)}
+            for k, oid in enumerate(s["object_ids"]):
+                if oid < 0 or not active[k]:
+                    continue
+                gt_id = mapping.get(int(oid))
+                if gt_id is None or gt_id == 0 or gt_id not in gt_by_id:
+                    continue
+                gt_mask = gt_by_id[gt_id]
+                per_object.setdefault(int(oid), []).append(float(iou(
+                    jnp.asarray(prior[..., k] < 0.5), jnp.asarray(gt_mask)
+                )))
+                seg_per_object.setdefault(int(oid), []).append(float(iou(
+                    jnp.asarray(seg[..., k] < 0.5), jnp.asarray(gt_mask)
+                )))
+        return {
+            "prior_iou_per_object": {
+                k: float(np.mean(v)) for k, v in per_object.items()
+            },
+            "seg_iou_per_object": {
+                k: float(np.mean(v)) for k, v in seg_per_object.items()
+            },
+        }
+
     def train_joint(
         self,
         num_epochs: int = 15,

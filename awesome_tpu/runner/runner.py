@@ -1091,6 +1091,21 @@ class AwesomeRunner(Runner):
         if compute_crf is None:
             compute_crf = self.config.compute_crf_with_metrics
         outputs = self._forward_all(params)
+        # batched CRF: ONE device call refines every image (the reference
+        # loops pydensecrf per image on the host, `run/handles.py:376-459`);
+        # mixed image sizes fall back to the per-image path below.
+        crf_refined = None
+        if compute_crf and len({s.shape for s in self.samples}) == 1:
+            from awesome_tpu.ops.crf import dense_crf_batched
+
+            imgs = np.stack([s.image for s in self.samples])
+            segs = np.stack([
+                self._crop_output(outputs, i)[:, 0].reshape(s.shape)
+                for i, s in enumerate(self.samples)
+            ])
+            crf_refined = dense_crf_batched(
+                imgs, segs, is_softmax_unaries=True
+            )
         seg_ious, prior_ious, accs, crf_ious = [], [], [], []
         for i, s in enumerate(self.samples):
             h, w = s.shape
@@ -1107,13 +1122,16 @@ class AwesomeRunner(Runner):
                     float(iou(prior > 0.5, gt > 0.5, invert=True))
                 )
             if compute_crf:
-                from awesome_tpu.ops.crf import dense_crf
-
                 # seg probability of BACKGROUND (fg=0 encoding); CRF refines
                 # the 2-class distribution against the rgb image
-                refined = dense_crf(
-                    s.image, seg.reshape(h, w), is_softmax_unaries=True
-                )
+                if crf_refined is not None:
+                    refined = crf_refined[i]
+                else:
+                    from awesome_tpu.ops.crf import dense_crf
+
+                    refined = dense_crf(
+                        s.image, seg.reshape(h, w), is_softmax_unaries=True
+                    )
                 crf_mask = refined[..., 0].reshape(-1, 1)
                 crf_ious.append(
                     float(iou(crf_mask > 0.5, gt > 0.5, invert=True))
