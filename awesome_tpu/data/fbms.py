@@ -533,6 +533,75 @@ class FBMSSequenceDataset:
                 return (gt == bg_val).astype(np.float32)
         return None
 
+    def load_ground_truth_channels(
+        self, frame_index: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Dense GT as per-object channels (G, H, W) + region ids — the
+        multi-object view (`fbms_sequence_sample.py:200-230`
+        load_mask_multi_channel; background = dominant value, excluded)."""
+        if self.gt_description is None:
+            return np.zeros((0, 0, 0), bool), np.zeros((0,), np.int64)
+        for fd in self.gt_description.frame_descriptions:
+            if fd.frame_index == frame_index:
+                from PIL import Image
+
+                p = os.path.join(
+                    self.dataset_path, self.ground_truth_dir, fd.file_name
+                )
+                if not os.path.exists(p):
+                    break
+                gt = np.asarray(Image.open(p))
+                if gt.ndim == 3:
+                    gt = gt[..., 0]
+                bg_val = np.bincount(gt.reshape(-1)).argmax()
+                return value_mask_to_channels(
+                    gt, background_value=int(bg_val)
+                )
+        return np.zeros((0, 0, 0), bool), np.zeros((0,), np.int64)
+
+    def object_id_mapping(
+        self, frame_index: int, min_threshold: float = 0.5
+    ) -> Dict[int, List[int]]:
+        """GT-region -> weak-label-object id mapping for a labeled frame
+        (the multi-object correspondence of
+        `fbms_sequence_dataset.py:518-554` /
+        `fbms_sequence_sample.py:779-840`)."""
+        img_shape = self.load_frame(frame_index).shape[:2]
+        weak_masks, weak_ids = trajectories_frame_to_mask(
+            self.trajectories, frame_index, img_shape
+        )
+        gtc, gt_ids = self.load_ground_truth_channels(frame_index)
+        if gtc.size == 0:
+            # no dense GT: identity mapping over weak ids (reference
+            # fallback, `fbms_sequence_sample.py:795-805`)
+            return {int(i): ([int(i)] if i != 0 else [])
+                    for i in weak_ids}
+        return gt_object_id_weak_label_mapping(
+            gtc, gt_ids, weak_masks > 0, weak_ids,
+            min_threshold=min_threshold,
+        )
+
+    def sample_multi(self, index: int, max_objects: int = 4
+                     ) -> Dict[str, np.ndarray]:
+        """Multi-object view of one frame: per-object weak unaries
+        (K, H, W) with fg=0 per channel, the labeled mask, and the weak
+        object ids (-1 = empty slot). The per-object channels feed one
+        child prior each (`multiple_object_aware_path_connected_net.py`)."""
+        img = self.load_frame(index)
+        h, w = img.shape[:2]
+        unaries, labeled, ids = multi_object_weak_labels(
+            self.trajectories, index, (h, w),
+            foreground_ids=self.foreground_ids,
+            max_objects=max_objects,
+        )
+        return {
+            "image": img,
+            "object_unaries": unaries,
+            "labeled": labeled,
+            "object_ids": ids,
+            "frame_index": index,
+        }
+
     def _load_confidence(self, index: int) -> Optional[np.ndarray]:
         """Per-frame tracker confidence map, when present: the reference's
         h5 files (key 'confidence', `fbms_sequence_sample.py:525`) or

@@ -30,6 +30,27 @@ import numpy as np
 
 
 BASELINE_EST_GPU_POINT_STEPS_PER_SEC = 5.1e7  # estimated reference GPU
+# estimated reference per-image wall-clock on a modern GPU at ANY
+# resolution: the loop is launch-bound (~150 kernel launches + a host
+# sync per step => ~3 ms/step), so 2000 steps ≈ 6 s/image regardless of
+# grid size (BASELINE.md)
+BASELINE_EST_GPU_PER_IMAGE_SECONDS = 6.0
+# TPU v5e peak: 197 TFLOP/s bf16 MXU; f32 runs at ~1/4 of that
+F32_PEAK_FLOPS = 197e12 / 4.0
+
+
+def _matmul_flops_per_point_step(params) -> float:
+    """Analytic matmul FLOPs per coordinate point per optimizer step for a
+    pointwise model: every >=2D weight leaf is applied exactly once per
+    point per forward (2 FLOPs/MAC), and fwd+bwd costs ~3 forwards (dx and
+    dW matmuls each match the forward's shape)."""
+    import jax
+
+    elems = sum(
+        leaf.size for leaf in jax.tree_util.tree_leaves(params)
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2
+    )
+    return 6.0 * elems
 
 
 def _measured_baseline():
@@ -114,6 +135,29 @@ def main():
         jax.block_until_ready(out)
         fdt = min(fdt, time.time() - t0)
 
+    # FULL-RESOLUTION per-image fit (the real protocol: convexity-51 /
+    # FBMS images are 240x320..480x640, where the reference loop needs
+    # minutes-to-hours) — fused single-image fit at 480x640, validated
+    # compile envelope (PARITY.md: compiles in ~16 s, fits in ~10 s)
+    fh, fw = 480, 640
+    fyy, fxx = np.mgrid[0:fh, 0:fw]
+    ffg = (((fyy - fh / 2) ** 2 / (0.09 * fh * fh)
+            + (fxx - fw / 2) ** 2 / (0.05 * fw * fw)) <= 1.0)
+    fpoints = G.flatten_grid(G.pixel_grid((fh, fw)))
+    ftarget = jnp.asarray(1.0 - ffg.astype(np.float32)).reshape(-1, 1)
+    frfit = jax.jit(make_fit_fn(model, fused_cfg))
+    frparams = model.init(jax.random.PRNGKey(2))
+    frout = frfit(frparams, fpoints, ftarget)
+    jax.block_until_ready(frout)
+    frdt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        frout = frfit(frparams, fpoints, ftarget)
+        jax.block_until_ready(frout)
+        frdt = min(frdt, time.time() - t0)
+    fullres_rate = steps * fpoints.shape[0] / frdt
+    flops_pp = _matmul_flops_per_point_step(frparams)
+
     measured, mdata = _measured_baseline()
     result = {
         "metric": "coord-point-steps/s/chip (batched prior fit)",
@@ -122,6 +166,19 @@ def main():
         "vs_baseline_estimated_gpu": round(
             value / BASELINE_EST_GPU_POINT_STEPS_PER_SEC, 3
         ),
+        # the real per-image protocol at full resolution
+        "per_image_fullres_shape": f"{fh}x{fw}",
+        "per_image_fullres_seconds": round(frdt, 2),
+        "per_image_fullres_point_steps_per_sec": round(fullres_rate, 1),
+        # the reference loop is launch-bound (~3 ms/step at any size)
+        "per_image_fullres_vs_estimated_gpu": round(
+            BASELINE_EST_GPU_PER_IMAGE_SECONDS * (steps / 2000.0) / frdt, 1
+        ),
+        # f32 model-FLOPs utilization of the full-res fused fit
+        "mfu_pct": round(
+            100.0 * fullres_rate * flops_pp / F32_PEAK_FLOPS, 2
+        ),
+        "mfu_flops_per_point_step": int(flops_pp),
     }
     if measured:
         result["vs_baseline"] = round(value / measured, 1)

@@ -28,7 +28,17 @@ def get_config():
     parser.add_argument("--config-path", type=str, default=None)
     args = parser.parse_args()
     if args.config_path:
-        cfg = AwesomeConfig.load(args.config_path)
+        with open(args.config_path) as f:
+            text = f.read()
+        if "awesome." in text and "__class__" in text:
+            # an UNMODIFIED reference YAML: route through the importer
+            from awesome_tpu.runner.reference_import import (
+                load_reference_config,
+            )
+
+            cfg, _ = load_reference_config(args.config_path)
+        else:
+            cfg = AwesomeConfig.load(args.config_path)
     else:
         cfg = AwesomeConfig()
     cfg.apply_parsed_args(args)
@@ -36,10 +46,50 @@ def get_config():
     return cfg
 
 
+def _is_fbms(cfg) -> bool:
+    return "fbms" in (cfg.dataset_type or "").lower() or "fbms" in str(
+        (cfg.dataset_args or {}).get("dataset", {})
+    ).lower()
+
+
+def main_fbms(cfg) -> None:
+    """FBMS experiment families route through FBMSRunner: spatio-temporal
+    (shared (x,y,t) prior), pretrain_only (sequential / weight-decay /
+    refit-prior-only) and joint (UNET+...+joint / refit-unet)."""
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+
+    runner = FBMSRunner.from_awesome_config(cfg)
+    if not os.path.isdir(runner.config.dataset_path):
+        raise SystemExit(
+            f"FBMS sequence directory {runner.config.dataset_path!r} not "
+            "found — download FBMS-59 (scripts/setup.py) or point "
+            "dataset_args.dataset.dataset_path at a sequence directory"
+        )
+    runner.build()
+    if (cfg.dataset_args or {}).get("spatio_temporal") or (
+        cfg.prior_model_args or {}
+    ).get("channels") == 3:
+        res = runner.pretrain()
+        logging.info("Spatio-temporal fit done: %s", res)
+        logging.info("Eval: %s", runner.evaluate())
+        return
+    if cfg.do_pretraining:
+        res = runner.run_pretrain_only_from_config()
+        logging.info("Prior pretrain: %s", res)
+        if cfg.pretrain_only:
+            return
+    res = runner.train_joint_from_config()
+    logging.info("Joint training done (%d losses)", len(res["loss"]))
+    logging.info("Eval: %s", runner.evaluate_joint())
+
+
 def main(cfg) -> None:
     from awesome_tpu.runner.runner import AwesomeRunner
     from awesome_tpu.utils.tensorboard import Tensorboard
 
+    if _is_fbms(cfg):
+        main_fbms(cfg)
+        return
     runner = AwesomeRunner(cfg)
     runner.build()
     runner.store_config()

@@ -70,3 +70,28 @@ def test_crf_channel_first_inputs():
     out_cl = dense_crf(img, probs[..., None],
                        options=CRFOptions(max_iterations=2))
     np.testing.assert_allclose(out_cf, out_cl, atol=1e-6)
+
+
+def test_dense_crf_batched_matches_per_image():
+    """dense_crf_batched = ONE device call for the whole stack, with
+    per-image color normalization preserved (VERDICT r2 #6): refined
+    probabilities match the per-image path (tail-truncation-level tol),
+    thresholded masks exactly."""
+    import numpy as np
+
+    from awesome_tpu.data.synthetic import make_sample
+    from awesome_tpu.ops.crf import CRFOptions, dense_crf, dense_crf_batched
+
+    samples = [make_sample(i, 24, 32) for i in range(3)]
+    imgs = np.stack([s.image for s in samples])
+    rng = np.random.default_rng(0)
+    unaries = np.stack([
+        np.clip(s.gt + rng.normal(0, 0.2, s.gt.shape), 0, 1)
+        for s in samples
+    ]).astype(np.float32)
+    opts = CRFOptions(max_iterations=5)
+    batched = dense_crf_batched(imgs, unaries, options=opts)
+    for i, s in enumerate(samples):
+        solo = dense_crf(s.image, unaries[i], options=opts)
+        np.testing.assert_allclose(batched[i], solo, atol=2e-3)
+        assert ((batched[i] > 0.5) == (solo > 0.5)).all()

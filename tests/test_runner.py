@@ -85,3 +85,45 @@ def test_reference_type_translation():
         "awesome_tpu.nn.path_connected.real_nvp_path_connected_net"
     )
     assert cfg.optimizer_type == "adamax"
+
+
+def test_run_script_fbms_dispatch(tmp_path, monkeypatch):
+    """scripts/run.py routes FBMS configs to FBMSRunner and runs the
+    pretrain_only flow from the unmodified reference YAML (CLI parity
+    for the sequential/weight-decay families)."""
+    import os
+    import sys
+
+    ref = ("/root/reference/config/path-connectedness/sequential/"
+           "UNET+cars3+edge+original+ep4000+refit400+realnvp.yaml")
+    if not os.path.exists(ref):
+        import pytest
+
+        pytest.skip("reference configs not present")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import importlib
+
+    run_mod = importlib.import_module("run")
+    from awesome_tpu.runner.reference_import import load_reference_config
+    from tests.test_fbms import _write_sequence
+
+    cfg, _ = load_reference_config(ref)
+    assert run_mod._is_fbms(cfg)
+    seq = _write_sequence(tmp_path)
+    cfg.dataset_args["dataset"]["dataset_path"] = seq
+    cfg.prior_model_args.update(
+        hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
+        convex_net_hidden_layers=1,
+    )
+    cfg.pretrain_args.update(num_epochs=20, reuse_state_epochs=5,
+                             prefit_flow_net_identity_num_epochs=5,
+                             prefit_convex_net_num_epochs=5)
+    cfg.pretrain_args["zoo"] = {"zoo_folder": str(tmp_path / "zoo")}
+    cfg.pretrain_state_path = str(tmp_path / "ps")
+    run_mod.main(cfg)  # pretrain_only: returns after the prior fit
+    from awesome_tpu.fit.checkpoint import pytree_exists
+
+    assert pytree_exists(str(tmp_path / "ps"))
