@@ -869,8 +869,14 @@ class AwesomeRunner(Runner):
                     self.tracker.epoch_metric("Loss", per_epoch[e], "train")
                 self.tracker.tick_epoch()
 
-            # validation cadence (+ best-model gate on the primary metric)
-            if self.val_indices and epoch % cfg.validation_each_nth_epoch == 0:
+            # validation cadence (+ best-model gate on the primary metric);
+            # the reference also always validates on the LAST epoch
+            # (`awesome_runner.py:474-475` should_validate_on_epoch)
+            val_tick = (
+                cfg.validation_each_nth_epoch
+                and epoch % cfg.validation_each_nth_epoch == 0
+            ) or epoch == num_epochs
+            if self.val_indices and val_tick:
                 self.tracker.epoch_metric(
                     "Loss",
                     loss_hist[self.val_indices, -1].mean(),
