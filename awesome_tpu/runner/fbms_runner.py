@@ -94,6 +94,28 @@ class FBMSRunner:
             raise ValueError("built without from_awesome_config")
         ds = (cfg.dataset_args or {}).get("dataset") or {}
         bs = batch_size or int(ds.get("training_batch_size", 1))
+        label_mode = ds.get("label_mode")
+        if isinstance(label_mode, dict):
+            label_mode = label_mode.get("value")
+        if label_mode == "multiple_objects":
+            # multi-object label mode (`awesome/dataset/label_mode.py`):
+            # shared multi-channel UNet + per-frame child priors
+            return self.train_joint_multi_object(
+                max_objects=int(ds.get("max_objects", 2)),
+                num_epochs=num_epochs or cfg.num_epochs,
+                lr=float(cfg.optimizer_args.get("lr", 1e-4)),
+                prior_lr=float(cfg.optimizer_args.get("lr", 1e-4)),
+                batch_size=min(bs, len(self.dataset)),
+                seed=cfg.seed,
+                train_segmentation=(
+                    cfg.segmentation_training_mode != "none"
+                ),
+                alpha=float(cfg.loss_args.get("alpha", 1.0)),
+                beta=float(cfg.loss_args.get("beta", 1.0)),
+                pretrain_steps=int(
+                    (cfg.pretrain_args or {}).get("num_epochs", 400)
+                ) if cfg.do_pretraining else 0,
+            )
         return self.train_joint(
             num_epochs=num_epochs or cfg.num_epochs,
             lr=float(cfg.optimizer_args.get("lr", 1e-4)),

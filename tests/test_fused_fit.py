@@ -140,3 +140,49 @@ def test_grouped_fused_fit_matches_single_fused():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6
             )
+
+
+def test_fused_fit_point_mask_matches_unpadded():
+    """The fused engine consumes point masks through the weight vector:
+    a bucket-padded fused fit equals the unpadded fused fit (interpret
+    mode off-TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awesome_tpu.fit.prior_fit import FitConfig, make_fit_fn
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+    h = w = 12
+    model = real_nvp_path_connected_net(
+        channels=2, hidden_units=8, flow_n_flows=2, flow_output_fn="tanh",
+        spatial_shape=(h, w), convex_net_hidden_units=12,
+        convex_net_hidden_layers=1,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    yy, xx = np.mgrid[0:h, 0:w]
+    pts = (np.stack([yy / h, xx / w], -1).reshape(-1, 2) - 0.5).astype(
+        np.float32
+    )
+    tgt = (((pts**2).sum(-1) > 0.09).astype(np.float32)).reshape(-1, 1)
+    cfg = FitConfig(num_steps=10, lr=1e-2, fused=True,
+                    nan_guard_grads=False)
+    fit = jax.jit(make_fit_fn(model, cfg))
+    ref, ref_aux = fit(params, jnp.asarray(pts), jnp.asarray(tgt))
+
+    pad = 32
+    pts_p = np.concatenate([pts, np.full((pad, 2), 5.0, np.float32)])
+    tgt_p = np.concatenate([tgt, np.zeros((pad, 1), np.float32)])
+    mask = np.zeros((pts_p.shape[0],), bool)
+    mask[: pts.shape[0]] = True
+    padded, pad_aux = fit(
+        params, jnp.asarray(pts_p), jnp.asarray(tgt_p),
+        point_mask=jnp.asarray(mask),
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(padded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref_aux["loss_hist"]), np.asarray(pad_aux["loss_hist"]),
+        atol=1e-6,
+    )

@@ -241,3 +241,35 @@ def test_two_object_joint_training_with_growth(seq_path):
     # cross-object IoU of ~0 and the random ~0.1)
     assert per_obj[1] > 0.3, m
     assert per_obj[2] > 0.3, m
+
+
+def test_label_mode_multiple_objects_config_dispatch(seq_path):
+    """A reference-style config with label_mode multiple_objects routes
+    train_joint_from_config to the multi-object engine
+    (`awesome/dataset/label_mode.py` MULTIPLE_OBJECTS)."""
+    from awesome_tpu.runner.config import AwesomeConfig
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+
+    cfg = AwesomeConfig(
+        name_experiment="mo_dispatch",
+        num_epochs=1,
+        dataset_args={"dataset": {
+            "dataset_path": seq_path,
+            "label_mode": {"value": "multiple_objects"},
+            "max_objects": 2,
+            "training_batch_size": 2,
+        }},
+        prior_model_args=dict(
+            hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
+            convex_net_hidden_layers=1,
+        ),
+        pretrain_args={"num_epochs": 30},
+        optimizer_args={"lr": 1e-3},
+    )
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq_path)
+    runner.build()
+    res = runner.train_joint_from_config()
+    assert np.isfinite(res["loss"]).all()
+    assert hasattr(runner, "multi_state")
+    # both slots active, per-frame children present
+    assert np.asarray(runner.multi_state.active).all()

@@ -158,3 +158,100 @@ def test_shard_batched_placement():
     sharded = shard_batched(mesh, {"x": x})["x"]
     assert len(sharded.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(x))
+
+
+def test_multi_object_step_sharded_matches_single_device():
+    """The multi-object joint step compiles and runs over a (data x grid)
+    mesh (dp over frames in the batch, sp over coordinate points,
+    replicated seg params) and matches the unsharded step."""
+    from awesome_tpu.fit.trainer import (
+        JointTrainConfig,
+        make_multi_object_train_step,
+        multi_object_train_init,
+    )
+    from awesome_tpu.nn.multi_prior import MultiPriorModule
+    from awesome_tpu.nn.seg import UNet
+    from awesome_tpu.nn.wrapper import WrapperModule
+
+    h = w = 16
+    k = 2
+    mp = MultiPriorModule(
+        child=ConvexNextNet(in_features=2, n_hidden=8, n_hidden_layers=1),
+        max_priors=k,
+    )
+    wrapper = WrapperModule(
+        segmentation_module=UNet(in_chn=4, out_chn=k),
+        prior_module=mp,
+        input_mode="image",
+        prior_arg_mode="param_clean_grid",
+        seg_stateful=True,
+    )
+    cfg = JointTrainConfig(lr=1e-3, prior_lr=1e-3)
+    state = multi_object_train_init(
+        wrapper, jax.random.PRNGKey(0), num_images=4, cfg=cfg,
+        initial_count=k,
+    )
+    step = make_multi_object_train_step(wrapper, cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.random((4, h, w, 3), ), jnp.float32),
+        "features": jnp.asarray(rng.random((4, h, w, 1)), jnp.float32),
+        "grid": G.flatten_grid(G.pixel_grid((h, w))),
+        "target_obj": jnp.asarray(
+            (rng.random((4, h, w, k)) > 0.7).astype(np.float32)
+        ),
+        "labeled": jnp.asarray(rng.random((4, h, w)) > 0.4),
+        "index": jnp.arange(4, dtype=jnp.int32),
+    }
+    ref_state, ref_metrics = jax.jit(step)(state, batch)
+
+    mesh = make_mesh((4, 2))
+
+    def dp(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+
+    sharded_batch = dict(
+        batch,
+        image=dp(batch["image"]),
+        features=dp(batch["features"]),
+        target_obj=dp(batch["target_obj"]),
+        labeled=dp(batch["labeled"]),
+        index=jax.device_put(batch["index"],
+                             NamedSharding(mesh, P("data"))),
+        grid=jax.device_put(batch["grid"],
+                            NamedSharding(mesh, P("grid", None))),
+    )
+    rep = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), t
+    )
+    dpt = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: dp(x) if getattr(x, "ndim", 0) > 0 else x, t
+    )
+    sharded_state = state._replace(
+        seg_params=rep(state.seg_params),
+        seg_state=rep(state.seg_state),
+        seg_opt=rep(state.seg_opt),
+        prior_params=dpt(state.prior_params),
+        prior_opt=dpt(state.prior_opt),
+        active=dp(state.active),
+    )
+    with mesh:
+        new_state, metrics = jax.jit(step)(sharded_state, sharded_batch)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.prior_params),
+        jax.tree_util.tree_leaves(ref_state.prior_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.seg_params),
+        jax.tree_util.tree_leaves(ref_state.seg_params),
+    ):
+        # the shared-seg grad is a psum over data shards: f32 reduction
+        # order differs, and Adam's first step (m/sqrt(v) ~ sign(g)) can
+        # swing near-zero grads by up to ~the lr — bound by 2 step sizes
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
