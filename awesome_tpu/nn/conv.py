@@ -17,8 +17,20 @@ import jax.numpy as jnp
 from awesome_tpu.nn.module import Module
 
 
-def conv2d(x, w, b=None, stride: int = 1, padding="SAME"):
-    """x: (B, H, W, Cin), w: (kh, kw, Cin, Cout)."""
+def conv2d(x, w, b=None, stride: int = 1, padding="SAME",
+           compute_dtype=None):
+    """x: (B, H, W, Cin), w: (kh, kw, Cin, Cout).
+
+    ``compute_dtype`` (e.g. 'bfloat16'): cast the conv INPUTS so the MXU
+    runs at its native bf16 rate (it accumulates in f32 internally); the
+    output is cast back up so bias/batchnorm and master params stay f32.
+    The backward pass then runs bf16 transposed convs too (the output
+    cast's grad re-casts the cotangent) — the standard mixed-precision
+    conv recipe."""
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -26,6 +38,8 @@ def conv2d(x, w, b=None, stride: int = 1, padding="SAME"):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    if compute_dtype is not None:
+        y = y.astype(out_dtype)
     if b is not None:
         y = y + b
     return y

@@ -148,13 +148,15 @@ def _double_conv_init(key, in_ch: int, out_ch: int):
     )
 
 
-def _double_conv_apply(params, state, x, train):
+def _double_conv_apply(params, state, x, train, compute_dtype=None):
     from awesome_tpu.nn.conv import conv2d
 
-    x = conv2d(x, params["conv1"]["w"], params["conv1"].get("b"))
+    x = conv2d(x, params["conv1"]["w"], params["conv1"].get("b"),
+               compute_dtype=compute_dtype)
     x, s1 = batchnorm_apply(params["bn1"], state["bn1"], x, train)
     x = jax.nn.relu(x)
-    x = conv2d(x, params["conv2"]["w"], params["conv2"].get("b"))
+    x = conv2d(x, params["conv2"]["w"], params["conv2"].get("b"),
+               compute_dtype=compute_dtype)
     x, s2 = batchnorm_apply(params["bn2"], state["bn2"], x, train)
     x = jax.nn.relu(x)
     return x, {"bn1": s1, "bn2": s2}
@@ -172,6 +174,9 @@ class UNet(Module):
 
     in_chn: int = 5
     out_chn: int = 1
+    # 'bfloat16' runs every conv's MXU pass at the native bf16 rate
+    # (f32 accumulation, batchnorm and master params — see nn.conv.conv2d)
+    compute_dtype: str = None
 
     _CH = (64, 128, 256, 512, 512)
 
@@ -196,17 +201,18 @@ class UNet(Module):
     def apply(self, params, state, image, features, train: bool = False):
         from awesome_tpu.nn.conv import conv2d
 
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         x = jnp.concatenate((image, features), axis=-1)
         new_state = {}
         x1, new_state["inc"] = _double_conv_apply(
-            params["inc"], state["inc"], x, train
+            params["inc"], state["inc"], x, train, cd
         )
         skips = [x1]
         h = x1
         for i in range(1, 5):
             h = max_pool2x2(h)
             h, new_state[f"down{i}"] = _double_conv_apply(
-                params[f"down{i}"], state[f"down{i}"], h, train
+                params[f"down{i}"], state[f"down{i}"], h, train, cd
             )
             skips.append(h)
         x1, x2, x3, x4, x5 = skips
@@ -216,7 +222,8 @@ class UNet(Module):
             h = pad_to_match(h, skip.shape[1], skip.shape[2])
             h = jnp.concatenate([skip, h], axis=-1)
             h, new_state[f"up{i}"] = _double_conv_apply(
-                params[f"up{i}"], state[f"up{i}"], h, train
+                params[f"up{i}"], state[f"up{i}"], h, train, cd
             )
-        out = conv2d(h, params["outc"]["w"], params["outc"].get("b"))
+        out = conv2d(h, params["outc"]["w"], params["outc"].get("b"),
+                     compute_dtype=cd)
         return out, new_state

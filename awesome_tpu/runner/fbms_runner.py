@@ -730,6 +730,7 @@ class FBMSRunner:
         beta: float = 1.0,
         use_segmentation_output_inversion: bool = False,
         use_prior: bool = True,
+        compute_dtype: Optional[str] = None,  # 'bfloat16' -> MXU-rate convs
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
@@ -770,7 +771,8 @@ class FBMSRunner:
 
         joint_prior = self._joint_prior_model() if use_prior else None
         wrapper = WrapperModule(
-            segmentation_module=UNet(in_chn=4, out_chn=1),
+            segmentation_module=UNet(in_chn=4, out_chn=1,
+                                     compute_dtype=compute_dtype),
             prior_module=joint_prior,
             input_mode="image",
             prior_arg_mode="param_clean_grid",

@@ -62,3 +62,35 @@ def test_unet_odd_sizes_pad():
     feat = jax.random.uniform(jax.random.PRNGKey(2), (1, 35, 43, 1))
     out, _ = model.apply(params, state, img, feat, train=False)
     assert out.shape == (1, 35, 43, 1)
+
+
+def test_unet_bf16_compute_dtype_close_to_f32():
+    """Opt-in bf16 convs (MXU-rate inputs, f32 accumulation/master) stay
+    numerically close to the f32 path and train finitely."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awesome_tpu.nn.seg import UNet
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+    ft = jnp.asarray(rng.random((1, 32, 32, 1)), jnp.float32)
+    f32 = UNet(in_chn=4, out_chn=1)
+    bf16 = UNet(in_chn=4, out_chn=1, compute_dtype="bfloat16")
+    params, state = f32.init(jax.random.PRNGKey(0))
+    out_f32, _ = f32.apply(params, state, img, ft, train=False)
+    out_bf16, _ = bf16.apply(params, state, img, ft, train=False)
+    assert out_bf16.dtype == jnp.float32  # master dtype preserved
+    np.testing.assert_allclose(
+        np.asarray(out_f32), np.asarray(out_bf16), atol=0.05
+    )
+
+    def loss(p):
+        out, _ = bf16.apply(p, state, img, ft, train=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()
