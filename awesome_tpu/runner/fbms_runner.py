@@ -129,6 +129,7 @@ class FBMSRunner:
                 cfg.use_segmentation_output_inversion
             ),
             use_prior=cfg.use_prior_model,
+            eval_nth_epoch=cfg.compute_metrics_during_training_nth_epoch,
         )
 
     def run_pretrain_only_from_config(self, zoo=None, **overrides):
@@ -731,6 +732,8 @@ class FBMSRunner:
         use_segmentation_output_inversion: bool = False,
         use_prior: bool = True,
         compute_dtype: Optional[str] = None,  # 'bfloat16' -> MXU-rate convs
+        eval_nth_epoch: Optional[int] = None,  # in-training eval cadence
+        checkpoint_dir: Optional[str] = None,
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
@@ -740,6 +743,13 @@ class FBMSRunner:
         plan (tail batch bucket-padded at weight 0, so every image trains
         every epoch); metrics transfer to the host once per epoch — not
         per step as the reference does (`awesome/agent/torch_agent.py:501`).
+
+        ``eval_nth_epoch``: the reference's in-training metric cadence
+        (``compute_metrics_during_training_nth_epoch``,
+        `run/handles.py:339-477`) — GT-frame seg/prior IoU at every nth
+        epoch, logged into ``self.joint_tracker`` with best-model capture
+        (``self.best_joint_state``). ``checkpoint_dir`` additionally saves
+        best/end agent checkpoints.
 
         Spec: `config/path-connectedness/joint/UNET+...+joint.yaml`
         (15 epochs, lr 1e-4) and `awesome/agent/torch_agent.py:183-527`
@@ -804,15 +814,49 @@ class FBMSRunner:
 
             batch_size = BatchSettings.of(self.dataset).training_batch_size
         bs = min(batch_size, t)
+        from awesome_tpu.fit.tracker import Tracker
+
+        tracker = Tracker(
+            primary_metric="MeanForegroundBinaryMIOU"
+            if eval_nth_epoch else "Loss",
+            primary_mode="eval" if eval_nth_epoch else "train",
+            maximize_primary=bool(eval_nth_epoch),
+        )
+        self.joint_tracker = tracker
+        self.best_joint_state = None
         epoch_metrics = []
-        for _ in range(num_epochs):
+        for e in range(num_epochs):
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
                 state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat)
             )
             epoch_metrics.append(metrics)  # device arrays; no sync here
+            if eval_nth_epoch and ((e + 1) % eval_nth_epoch == 0
+                                   or e + 1 == num_epochs):
+                # in-training eval + best-model gate need the current
+                # state on the host path (one sync per cadence tick)
+                self.joint_state = jax.block_until_ready(state)
+                self.joint_wrapper = wrapper
+                tracker.epoch_metric(
+                    "Loss", float(np.asarray(metrics["loss"]).mean()),
+                    "train",
+                )
+                for k, v in self.evaluate_joint().items():
+                    if isinstance(v, float):
+                        tracker.epoch_metric(k, v, "eval")
+                tracker.tick_epoch()
+                if tracker.is_current_state_best_model():
+                    self.best_joint_state = state
+                    if checkpoint_dir:
+                        self._save_joint_checkpoint(
+                            state, checkpoint_dir, "best"
+                        )
         self.joint_state = jax.block_until_ready(state)
         self.joint_wrapper = wrapper
+        if self.best_joint_state is None:
+            self.best_joint_state = self.joint_state
+        if checkpoint_dir:
+            self._save_joint_checkpoint(state, checkpoint_dir, "end")
         # single host transfer for the whole history
         losses = [
             float(v)
@@ -820,3 +864,21 @@ class FBMSRunner:
             for v in np.asarray(m["loss"]).ravel()
         ]
         return {"loss": losses}
+
+    def _save_joint_checkpoint(self, state, directory: str, tag: str):
+        """Agent-checkpoint save of the joint state (params + tracker).
+        Spec: `awesome/run/handles.py:195-232` save handles."""
+        import os
+
+        from awesome_tpu.fit.checkpoint import AgentCheckpoint
+
+        AgentCheckpoint(
+            name=f"fbms_joint_{tag}",
+            params={
+                "seg": state.seg_params,
+                "prior": state.prior_params,
+            },
+            tracker=self.joint_tracker.to_dict()
+            if getattr(self, "joint_tracker", None) else {},
+            config={},
+        ).save(os.path.join(directory, tag))

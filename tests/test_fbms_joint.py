@@ -99,3 +99,38 @@ def test_pretrain_from_config_with_prefits_and_zoo(tmp_path):
         prefit_flow_identity_steps=20, prefit_convex_steps=20,
     )
     assert np.isfinite(res2["cold_loss"])
+
+
+def test_joint_eval_cadence_and_best_model(tmp_path):
+    """In-training eval cadence + best-model capture + checkpoints during
+    joint FBMS training (the reference's
+    compute_metrics_during_training_nth_epoch handle,
+    `run/handles.py:339-477`)."""
+    import os
+
+    import numpy as np
+
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    cfg = FBMSExperimentConfig(
+        dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+        convex_hidden_units=12, convex_hidden_layers=1,
+    )
+    runner = FBMSRunner(cfg)
+    runner.build()
+    ckpt = str(tmp_path / "ckpts")
+    res = runner.train_joint(
+        num_epochs=4, batch_size=2, eval_nth_epoch=2, checkpoint_dir=ckpt,
+    )
+    assert np.isfinite(res["loss"]).all()
+    tr = runner.joint_tracker
+    assert tr.primary_metric == "MeanForegroundBinaryMIOU"
+    assert tr.get_best_performance() is not None
+    assert runner.best_joint_state is not None
+    assert os.path.isdir(os.path.join(ckpt, "end"))
+    assert os.path.isdir(os.path.join(ckpt, "best"))
