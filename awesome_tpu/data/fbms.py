@@ -296,6 +296,12 @@ def gt_object_id_weak_label_mapping(
     support = channels.reshape(len(ids), -1).sum(axis=1)
     order = np.argsort(-support)
 
+    if len(weak_ids) == 0:
+        # a GT-labeled frame can have no trajectory points at all (real
+        # FBMS: GT often labels the last frame while multicut tracks end
+        # earlier) — every GT region simply has no weak match
+        return {int(ids[gi]): [] for gi in order}
+
     weak_total = weak_channels.reshape(len(weak_ids), -1).sum(axis=1)
     weak_order = np.argsort(-weak_total)
     mapping: Dict[int, List[int]] = {}

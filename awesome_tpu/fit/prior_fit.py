@@ -503,6 +503,62 @@ def fit_priors_sequential(
 # --- prefits -------------------------------------------------------------
 
 
+def apply_prefits(
+    model,
+    params: Params,
+    points: jnp.ndarray,
+    prefit_flow_identity: bool = False,
+    flow_identity_lr: float = 1e-2,
+    flow_identity_weight_decay: float = 1e-5,
+    flow_identity_steps: int = 100,
+    prefit_convex: bool = False,
+    convex_mode: str = "circle",
+    convex_target: Optional[jnp.ndarray] = None,
+    grid_shape: Optional[Tuple[int, int]] = None,
+    convex_lr: float = 1e-3,
+    convex_weight_decay: float = 0.0,
+    convex_steps: int = 200,
+    zoo=None,
+    zoo_key: Optional[str] = None,
+) -> Params:
+    """The reference's warm-start prefits as ONE entry point (shared by
+    the FBMS and the generic pretrain paths): flow ~ identity on the grid
+    (Zoo-cached under ``zoo_key``) and the ICNN on a circle approximation
+    or the unaries. Spec: `awesome/model/path_connected_net.py:155-390` +
+    the Zoo round trip at `:873-882`. Returns params with updated flow /
+    convex subtrees; models without those parts pass through untouched.
+    """
+    supports = hasattr(model, "flow_net") and hasattr(model, "convex_net")
+    if not supports:
+        return params
+    if prefit_flow_identity:
+        name = zoo_key or f"flow_identity_{points.shape}_0"
+        cached = None
+        if zoo is not None:
+            cached, _ = zoo.load_model_state(
+                name, model.flow_net, params["flow"]
+            )
+            if cached is not None:
+                params = dict(params, flow=cached)
+        if cached is None:
+            params, _ = learn_flow_identity(
+                model, params, points,
+                lr=flow_identity_lr,
+                weight_decay=flow_identity_weight_decay,
+                max_iter=flow_identity_steps,
+            )
+            if zoo is not None:
+                zoo.save_model_state(name, model.flow_net, params["flow"])
+    if prefit_convex and convex_target is not None:
+        params, _ = learn_convex_net(
+            model, params, points, convex_target,
+            mode=convex_mode, grid_shape=grid_shape,
+            lr=convex_lr, weight_decay=convex_weight_decay,
+            max_iter=convex_steps,
+        )
+    return params
+
+
 def learn_flow_identity(
     model,
     params: Params,

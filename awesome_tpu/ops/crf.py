@@ -250,6 +250,15 @@ def dense_crf_batched(
     per-image blur width rides a traced sigma with a full-axis static
     radius, so batching does not change results).
     """
+    if not is_softmax_unaries:
+        # the reference's own False path is broken (U is unbound when
+        # is_softmax_unaries is False, `awesome/run/crf.py:112-115`), so
+        # there are no semantics to match — reject instead of silently
+        # treating logits as probabilities
+        raise NotImplementedError(
+            "is_softmax_unaries=False has no reference semantics "
+            "(awesome/run/crf.py leaves U unbound); pass probabilities"
+        )
     imgs = np.asarray(imgs)
     unaries = np.asarray(unaries)
     if unaries.ndim == 3:
@@ -297,6 +306,11 @@ def dense_crf(
     (H, W)/(H, W, 1) (expanded to [p, 1-p] like the reference `:99-106`).
     Returns (H, W, C) refined probabilities.
     """
+    if not is_softmax_unaries:
+        raise NotImplementedError(
+            "is_softmax_unaries=False has no reference semantics "
+            "(awesome/run/crf.py leaves U unbound); pass probabilities"
+        )
     img = np.asarray(img)
     unaries = np.asarray(unaries)
     if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[-1] > 4:

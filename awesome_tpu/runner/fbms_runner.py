@@ -379,9 +379,8 @@ class FBMSRunner:
         from awesome_tpu.core import grids as G
         from awesome_tpu.fit.prior_fit import (
             FitConfig,
+            apply_prefits,
             fit_priors_sequential,
-            learn_convex_net,
-            learn_flow_identity,
         )
 
         if fused is None:
@@ -389,35 +388,22 @@ class FBMSRunner:
         model = self._joint_prior_model()
         params = model.init(jax.random.PRNGKey(seed))
         pts = G.flatten_grid(G.pixel_grid(self.shape))
-        if prefit_flow_identity:
-            cached = None
-            zoo_name = f"flow_identity_{self.shape}_{seed}"
-            if zoo is not None:
-                # the reference Zoo-caches the flow-identity prefit
-                # (`path_connected_net.py:873-882`)
-                cached, _ = zoo.load_model_state(
-                    zoo_name, model.flow_net, params["flow"]
-                )
-                if cached is not None:
-                    params = dict(params, flow=cached)
-            if cached is None:
-                params, _ = learn_flow_identity(
-                    model, params, pts, lr=prefit_flow_identity_lr,
-                    max_iter=prefit_flow_identity_steps,
-                )
-                if zoo is not None:
-                    zoo.save_model_state(
-                        zoo_name, model.flow_net, params["flow"]
-                    )
-        if prefit_convex:
-            unaries0 = jnp.asarray(
+        params = apply_prefits(
+            model, params, pts,
+            prefit_flow_identity=prefit_flow_identity,
+            flow_identity_lr=prefit_flow_identity_lr,
+            flow_identity_steps=prefit_flow_identity_steps,
+            prefit_convex=prefit_convex,
+            convex_mode="circle",
+            convex_target=jnp.asarray(
                 self._joint_frame_targets()[0].reshape(-1, 1)
-            )
-            params, _ = learn_convex_net(
-                model, params, pts, unaries0, mode="circle",
-                grid_shape=self.shape, lr=prefit_convex_lr,
-                max_iter=prefit_convex_steps,
-            )
+            ) if prefit_convex else None,
+            grid_shape=self.shape,
+            convex_lr=prefit_convex_lr,
+            convex_steps=prefit_convex_steps,
+            zoo=zoo,
+            zoo_key=f"flow_identity_{self.shape}_{seed}",
+        )
         targets = self._joint_frame_targets().reshape(
             len(self.dataset), -1, 1
         )

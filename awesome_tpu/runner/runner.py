@@ -579,10 +579,9 @@ class AwesomeRunner(Runner):
 
         from awesome_tpu.fit.prior_fit import (
             FitConfig,
+            apply_prefits,
             fit_priors_batched,
             fit_priors_sequential,
-            learn_convex_net,
-            learn_flow_identity,
         )
 
         b = self._batch
@@ -629,53 +628,38 @@ class AwesomeRunner(Runner):
             # identity), then every later image starts from the previous
             # fitted state for reuse_state_epochs steps.
             params0 = prior_model.init(jax.random.PRNGKey(cfg.seed + 3))
-            supports_prefits = hasattr(prior_model, "flow_net") and hasattr(
-                prior_model, "convex_net"
-            )
             pts0 = np.asarray(points[0])[np.asarray(pmask[0])]
-            if supports_prefits and pargs.get("prefit_flow_net_identity"):
-                zoo = self._pretrain_zoo(pargs)
-                zoo_name = f"flow_identity_{pts0.shape}_{cfg.seed}"
-                cached = None
-                if zoo is not None:
-                    cached, _ = zoo.load_model_state(
-                        zoo_name, prior_model.flow_net, params0["flow"]
-                    )
-                    if cached is not None:
-                        params0 = dict(params0, flow=cached)
-                if cached is None:
-                    params0, _ = learn_flow_identity(
-                        prior_model, params0, jnp.asarray(pts0),
-                        lr=float(
-                            pargs.get("prefit_flow_net_identity_lr", 1e-2)
-                        ),
-                        weight_decay=float(pargs.get(
-                            "prefit_flow_net_identity_weight_decay", 1e-5
-                        )),
-                        max_iter=int(pargs.get(
-                            "prefit_flow_net_identity_num_epochs", 100
-                        )),
-                    )
-                    if zoo is not None:
-                        zoo.save_model_state(
-                            zoo_name, prior_model.flow_net, params0["flow"]
-                        )
-            if supports_prefits and pargs.get("prefit_convex_net"):
-                # 'unaries' mode is pointwise (no dense-grid reshape), the
-                # multi-object override's choice
-                # (`multiple_object_aware_path_connected_net.py:248-259`)
-                u0 = np.asarray(unaries[0])[np.asarray(pmask[0])]
-                params0, _ = learn_convex_net(
-                    prior_model, params0, jnp.asarray(pts0),
-                    jnp.asarray(u0), mode="unaries",
-                    lr=float(pargs.get("prefit_convex_net_lr", 1e-3)),
-                    weight_decay=float(
-                        pargs.get("prefit_convex_net_weight_decay", 0.0)
-                    ),
-                    max_iter=int(
-                        pargs.get("prefit_convex_net_num_epochs", 200)
-                    ),
-                )
+            u0 = np.asarray(unaries[0])[np.asarray(pmask[0])]
+            # 'unaries' convex mode is pointwise (no dense-grid reshape) —
+            # the multi-object override's choice
+            # (`multiple_object_aware_path_connected_net.py:248-259`)
+            params0 = apply_prefits(
+                prior_model, params0, jnp.asarray(pts0),
+                prefit_flow_identity=bool(
+                    pargs.get("prefit_flow_net_identity")
+                ),
+                flow_identity_lr=float(
+                    pargs.get("prefit_flow_net_identity_lr", 1e-2)
+                ),
+                flow_identity_weight_decay=float(pargs.get(
+                    "prefit_flow_net_identity_weight_decay", 1e-5
+                )),
+                flow_identity_steps=int(pargs.get(
+                    "prefit_flow_net_identity_num_epochs", 100
+                )),
+                prefit_convex=bool(pargs.get("prefit_convex_net")),
+                convex_mode="unaries",
+                convex_target=jnp.asarray(u0),
+                convex_lr=float(pargs.get("prefit_convex_net_lr", 1e-3)),
+                convex_weight_decay=float(
+                    pargs.get("prefit_convex_net_weight_decay", 0.0)
+                ),
+                convex_steps=int(
+                    pargs.get("prefit_convex_net_num_epochs", 200)
+                ),
+                zoo=self._pretrain_zoo(pargs),
+                zoo_key=f"flow_identity_{pts0.shape}_{cfg.seed}",
+            )
             warm_cfg = dataclasses.replace(
                 fit_cfg,
                 num_steps=int(pargs.get("reuse_state_epochs", 200)),
@@ -690,6 +674,20 @@ class AwesomeRunner(Runner):
                 warm_cfg=warm_cfg,
                 valid_mask=jnp.asarray(valid),
                 point_masks=jnp.asarray(pmask),
+            )
+            # skipped images (val holdout / single-valued unaries) keep
+            # their OWN pre-existing priors — the sequential sweep's carry
+            # passes THROUGH them (its output slot holds the previous
+            # image's state), matching the reference's "keep the state of
+            # the prior ... use it again" skip semantics
+            # (`multiple_object_aware_path_connected_net.py:200-207`)
+            keep = jnp.asarray(valid)
+            fitted = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    keep.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                fitted,
+                self.stacked_params["prior"],
             )
         else:
             fitted, aux = fit_priors_batched(

@@ -47,9 +47,14 @@ def get_config():
 
 
 def _is_fbms(cfg) -> bool:
-    return "fbms" in (cfg.dataset_type or "").lower() or "fbms" in str(
-        (cfg.dataset_args or {}).get("dataset", {})
-    ).lower()
+    """FBMS configs = the dataset TYPE (outer, or the nested wrapped
+    dataset's class tag) is an FBMS sequence dataset — never a substring
+    match on arbitrary arg values (paths may contain 'fbms')."""
+    if "fbms" in (cfg.dataset_type or "").lower():
+        return True
+    inner = (cfg.dataset_args or {}).get("dataset")
+    cls = inner.get("__class__", "") if isinstance(inner, dict) else ""
+    return "fbms" in str(cls).lower()
 
 
 def main_fbms(cfg) -> None:

@@ -273,3 +273,18 @@ def test_label_mode_multiple_objects_config_dispatch(seq_path):
     assert hasattr(runner, "multi_state")
     # both slots active, per-frame children present
     assert np.asarray(runner.multi_state.active).all()
+
+
+def test_gt_mapping_empty_weak_labels():
+    """A GT-labeled frame with zero trajectory points maps every region to
+    no weak object (real FBMS: GT labels frames past the track range)."""
+    from awesome_tpu.data.fbms import gt_object_id_weak_label_mapping
+
+    gtc = np.zeros((2, 8, 8), bool)
+    gtc[0, :4] = True
+    gtc[1, 4:] = True
+    mapping = gt_object_id_weak_label_mapping(
+        gtc, np.array([100, 200]),
+        np.zeros((0, 8, 8), bool), np.zeros((0,), np.int64),
+    )
+    assert mapping == {100: [], 200: [], 0: []}

@@ -196,3 +196,48 @@ def test_runner_holdout_multi_mode(tmp_path):
     assert np.isfinite(res["loss_hist"]).all()
     m = res["final_metrics"]
     assert "val/MeanForegroundBinaryMIOU" in m
+
+
+def test_reuse_state_pretrain_keeps_skipped_priors(tmp_path):
+    """The reuse_state pretrain must NOT leak the previous image's fitted
+    prior into skipped (val-holdout) slots — they keep their own params."""
+    from awesome_tpu.runner.config import AwesomeConfig
+    from awesome_tpu.runner.runner import AwesomeRunner
+
+    cfg = AwesomeConfig(
+        name_experiment="seq_skip",
+        runs_path=str(tmp_path),
+        num_epochs=4,
+        dataset_args={"dimension": "2d", "n": 4, "h": 16, "w": 16,
+                      "split_ratio": 0.75},
+        optimizer_args={"lr": 0.02},
+        pretrain_args={"reuse_state": True, "num_epochs": 10,
+                       "reuse_state_epochs": 4},
+        do_pretraining=True,
+        compute_metrics_during_training_nth_epoch=0,
+    )
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    assert runner.val_indices
+    before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), runner.stacked_params["prior"]
+    )
+    runner.pretrain()
+    after = runner.stacked_params["prior"]
+    sel = lambda t, i: jax.tree_util.tree_map(lambda x: np.asarray(x)[i], t)
+    for i in runner.val_indices:
+        for a, b in zip(jax.tree_util.tree_leaves(sel(after, i)),
+                        jax.tree_util.tree_leaves(sel(before, i))):
+            assert np.array_equal(a, b), f"val image {i} prior was altered"
+    # at least one train image's prior was actually fitted (individual
+    # train images may legitimately skip when the fresh seg's unaries are
+    # single-valued, `path_connected_net.py:848-855`)
+    any_changed = any(
+        any(
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(sel(after, i)),
+                            jax.tree_util.tree_leaves(sel(before, i)))
+        )
+        for i in runner.train_indices
+    )
+    assert any_changed, "no train image's prior was fitted"
