@@ -208,6 +208,9 @@ def make_joint_train_step(
 
     def step(state: JointTrainState, batch):
         idx = batch["index"]
+        # epoch-level LR scheduling (StepLR / plateau / watchdog) rides a
+        # traced scale so schedulers never retrace the epoch program
+        lr_scale = batch.get("lr_scale", 1.0)
         if has_prior:
             prior_batch = T.tree_select(state.prior_params, idx)
             prior_opt_batch = jax.tree_util.tree_map(
@@ -239,7 +242,8 @@ def make_joint_train_step(
         # --- segmentation update (shared params) -------------------------
         if cfg.train_segmentation:
             new_seg, new_seg_opt = seg_upd(
-                state.seg_params, seg_g, state.seg_opt, cfg.lr
+                state.seg_params, seg_g, state.seg_opt,
+                cfg.lr * lr_scale
             )
             new_seg = T.tree_where(ok, new_seg, state.seg_params)
             new_seg_opt = jax.tree_util.tree_map(
@@ -271,7 +275,8 @@ def make_joint_train_step(
             )
 
         def upd_one(pp, g, op):
-            new_pp, new_op = prior_upd(pp, g, op, cfg.prior_lr, weight_decay=wd)
+            new_pp, new_op = prior_upd(pp, g, op, cfg.prior_lr * lr_scale,
+                                       weight_decay=wd)
             if hasattr(wrapper.prior_module, "enforce_convexity"):
                 new_pp = wrapper.prior_module.enforce_convexity(new_pp)
             return new_pp, new_op
@@ -682,7 +687,7 @@ def make_joint_epoch_fn(
     """
     step = make_joint_train_step(wrapper, cfg, loss_fn)
 
-    def epoch(state, data, idx_mat, wgt_mat):
+    def epoch(state, data, idx_mat, wgt_mat, lr_scale=1.0):
         per_frame_grid = data["grid"].ndim == 3
 
         def body(st, xs):
@@ -694,6 +699,7 @@ def make_joint_epoch_fn(
                 "target": data["target"][idx],
                 "index": idx,
                 "weight": wgt,
+                "lr_scale": lr_scale,
             }
             return step(st, batch)
 

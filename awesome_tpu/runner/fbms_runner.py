@@ -130,7 +130,33 @@ class FBMSRunner:
             ),
             use_prior=cfg.use_prior_model,
             eval_nth_epoch=cfg.compute_metrics_during_training_nth_epoch,
+            scheduler=self._scheduler_from_config(cfg),
+            watchdog_lr=(
+                float(cfg.lr_stop_training_watchdog_args.get(
+                    "learning_rate", 1e-7
+                ))
+                if cfg.use_lr_stop_training_watchdog
+                and (cfg.use_lr_on_plateau_scheduler
+                     or cfg.use_step_lr_scheduler)
+                else None
+            ),
         )
+
+    @staticmethod
+    def _scheduler_from_config(cfg) -> Optional[Dict]:
+        """Epoch-level LR scheduler spec from the imported YAML flags
+        (`awesome/run/awesome_runner.py:465-472`)."""
+        if cfg.use_step_lr_scheduler:
+            a = cfg.step_lr_scheduler_args or {}
+            return {"type": "step",
+                    "gamma": float(a.get("gamma", 0.1)),
+                    "step_size": int(a.get("step_size", 100))}
+        if cfg.use_lr_on_plateau_scheduler:
+            a = cfg.lr_on_plateau_scheduler_args or {}
+            return {"type": "plateau",
+                    "factor": float(a.get("factor", 0.1)),
+                    "patience": int(a.get("patience", 100))}
+        return None
 
     def run_pretrain_only_from_config(self, zoo=None, **overrides):
         """The pretrain_only flow of the path-connectedness/sequential and
@@ -720,6 +746,8 @@ class FBMSRunner:
         compute_dtype: Optional[str] = None,  # 'bfloat16' -> MXU-rate convs
         eval_nth_epoch: Optional[int] = None,  # in-training eval cadence
         checkpoint_dir: Optional[str] = None,
+        scheduler: Optional[Dict] = None,  # {'type': 'step'|'plateau', ...}
+        watchdog_lr: Optional[float] = None,  # stop when lr decays to this
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
@@ -810,13 +838,42 @@ class FBMSRunner:
         )
         self.joint_tracker = tracker
         self.best_joint_state = None
+        # epoch-level LR scheduling on the host (the reference steps its
+        # schedulers via epoch events, `awesome_runner.py:465-475`); the
+        # scale reaches the compiled step as a traced scalar — no retrace
+        lr_scale = 1.0
+        plateau_best, plateau_wait = float("inf"), 0
+        stopped_early = False
         epoch_metrics = []
         for e in range(num_epochs):
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
-                state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat)
+                state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat),
+                jnp.float32(lr_scale),
             )
             epoch_metrics.append(metrics)  # device arrays; no sync here
+            if scheduler and scheduler.get("type") == "step":
+                # torch StepLR: decay every step_size epochs
+                if (e + 1) % int(scheduler.get("step_size", 100)) == 0:
+                    lr_scale *= float(scheduler.get("gamma", 0.1))
+            elif scheduler and scheduler.get("type") == "plateau":
+                mean_loss = float(np.asarray(metrics["loss"]).mean())
+                if mean_loss < plateau_best - 1e-8:
+                    plateau_best, plateau_wait = mean_loss, 0
+                else:
+                    plateau_wait += 1
+                    if plateau_wait > int(scheduler.get("patience", 100)):
+                        lr_scale *= float(scheduler.get("factor", 0.1))
+                        plateau_wait = 0
+            if watchdog_lr is not None and (
+                min(lr, prior_lr) * lr_scale <= watchdog_lr
+            ):
+                # LearningRateStopTrainingWatchdog: StopTraining once the
+                # LR has decayed to the floor
+                # (`event/watchdogs/learning_rate_stop_training_watchdog.py:64`)
+                logger.info("LR watchdog stop at epoch %d", e + 1)
+                stopped_early = True
+                break
             if eval_nth_epoch and ((e + 1) % eval_nth_epoch == 0
                                    or e + 1 == num_epochs):
                 # in-training eval + best-model gate need the current
@@ -849,7 +906,8 @@ class FBMSRunner:
             for m in epoch_metrics
             for v in np.asarray(m["loss"]).ravel()
         ]
-        return {"loss": losses}
+        return {"loss": losses, "stopped_early": stopped_early,
+                "final_lr_scale": lr_scale}
 
     def _save_joint_checkpoint(self, state, directory: str, tag: str):
         """Agent-checkpoint save of the joint state (params + tracker).

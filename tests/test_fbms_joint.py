@@ -134,3 +134,54 @@ def test_joint_eval_cadence_and_best_model(tmp_path):
     assert runner.best_joint_state is not None
     assert os.path.isdir(os.path.join(ckpt, "end"))
     assert os.path.isdir(os.path.join(ckpt, "best"))
+
+
+def test_joint_lr_scheduler_and_watchdog(tmp_path):
+    """Epoch-level StepLR decay reaches the compiled joint step through a
+    traced scale, and the LR watchdog stops training once the decayed LR
+    hits the floor (the refit-unet family's use_step_lr_scheduler +
+    use_lr_stop_training_watchdog flags)."""
+    import numpy as np
+
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    cfg = FBMSExperimentConfig(
+        dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+        convex_hidden_units=12, convex_hidden_layers=1,
+    )
+    runner = FBMSRunner(cfg)
+    runner.build()
+    res = runner.train_joint(
+        num_epochs=10, batch_size=2, lr=1e-3, prior_lr=1e-3,
+        scheduler={"type": "step", "gamma": 0.1, "step_size": 2},
+        watchdog_lr=1e-6,
+    )
+    # lr decays x0.1 every 2 epochs: 1e-3 -> 1e-6 after 6 epochs -> stop
+    assert res["stopped_early"] is True
+    assert len(res["loss"]) < 10 * 3  # fewer than 10 epochs of batches
+    assert np.isfinite(res["loss"]).all()
+    assert res["final_lr_scale"] <= 1e-3 + 1e-12
+
+
+def test_scheduler_from_config():
+    from awesome_tpu.runner.config import AwesomeConfig
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+
+    cfg = AwesomeConfig(
+        use_step_lr_scheduler=True,
+        step_lr_scheduler_args={"gamma": 0.5, "step_size": 7},
+    )
+    s = FBMSRunner._scheduler_from_config(cfg)
+    assert s == {"type": "step", "gamma": 0.5, "step_size": 7}
+    cfg2 = AwesomeConfig(
+        use_lr_on_plateau_scheduler=True,
+        lr_on_plateau_scheduler_args={"factor": 0.2, "patience": 3},
+    )
+    s2 = FBMSRunner._scheduler_from_config(cfg2)
+    assert s2 == {"type": "plateau", "factor": 0.2, "patience": 3}
+    assert FBMSRunner._scheduler_from_config(AwesomeConfig()) is None
