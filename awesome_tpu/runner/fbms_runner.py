@@ -452,7 +452,8 @@ class FBMSRunner:
     def evaluate_joint(self) -> Dict[str, float]:
         """Seg + prior IoU of the trained joint model on GT frames.
         Spec: `run/handles.py:339-477` get_compute_eval_metrics for the
-        joint pipeline."""
+        joint pipeline. ALL GT frames evaluate in ONE vmapped device call
+        (the reference loops frames on the host, one forward each)."""
         import jax
         import jax.numpy as jnp
 
@@ -465,33 +466,47 @@ class FBMSRunner:
         wrapper = self.joint_wrapper
         h, w = self.shape
         grid = G.flatten_grid(G.pixel_grid((h, w)))
-        seg_ious, prior_ious = [], []
+        indices, gts = [], []
         for idx in self.dataset.get_ground_truth_indices():
             gt = self.dataset.load_ground_truth(idx)
-            if gt is None:
-                continue
-            img = jnp.asarray(
-                self.dataset.load_frame(idx)[None].astype(np.float32)
+            if gt is not None:
+                indices.append(idx)
+                gts.append(gt)
+        seg_ious, prior_ious = [], []
+        if indices:
+            imgs = np.stack([
+                self.dataset.load_frame(i).astype(np.float32)
+                for i in indices
+            ])
+            fts = np.stack(
+                [edge_map(imgs[i])[..., None] for i in range(len(indices))]
             )
-            ft = jnp.asarray(
-                edge_map(np.asarray(img[0]))[None, ..., None]
-            )
-            params = {"seg": state.seg_params}
-            if wrapper.prior_module is not None:
-                params["prior"] = T.tree_select(state.prior_params, idx)
-            out, _ = wrapper.apply(
-                params,
-                img, features=ft, grid=grid,
-                seg_state=state.seg_state, train=False,
-            )
-            seg = np.asarray(out[0, :, :, 0])
-            gt_fg = np.asarray(gt) < 0.5
-            seg_ious.append(float(iou(
-                jnp.asarray(seg < 0.5), jnp.asarray(gt_fg))))
-            if out.shape[-1] > 1:
-                prior = np.asarray(out[0, :, :, 1])
-                prior_ious.append(float(iou(
-                    jnp.asarray(prior < 0.5), jnp.asarray(gt_fg))))
+            idx_arr = jnp.asarray(np.asarray(indices, np.int32))
+
+            def one(img, ft, frame_idx):
+                params = {"seg": state.seg_params}
+                if wrapper.prior_module is not None:
+                    params["prior"] = T.tree_select(
+                        state.prior_params, frame_idx
+                    )
+                out, _ = wrapper.apply(
+                    params, img[None], features=ft[None], grid=grid,
+                    seg_state=state.seg_state, train=False,
+                )
+                return out[0]
+
+            outs = np.asarray(jax.jit(jax.vmap(one))(
+                jnp.asarray(imgs), jnp.asarray(fts), idx_arr
+            ))
+            for k, gt in enumerate(gts):
+                gt_fg = np.asarray(gt) < 0.5
+                seg_ious.append(float(iou(
+                    jnp.asarray(outs[k, :, :, 0] < 0.5),
+                    jnp.asarray(gt_fg))))
+                if outs.shape[-1] > 1:
+                    prior_ious.append(float(iou(
+                        jnp.asarray(outs[k, :, :, 1] < 0.5),
+                        jnp.asarray(gt_fg))))
         return {
             "MeanForegroundBinaryMIOU": float(np.mean(seg_ious))
             if seg_ious else 0.0,
