@@ -1179,6 +1179,7 @@ class AwesomeRunner(Runner):
         num_steps: int = 2000,
         lr: float = 1e-3,
         gate_threshold: Optional[float] = 0.5,
+        chunk: int = 8,
     ) -> Dict[str, Any]:
         """The paper's "sequential fit" (post-processing): refit every
         image's prior against the TRAINED segmentation's dense unaries on
@@ -1227,23 +1228,41 @@ class AwesomeRunner(Runner):
         cfg = FitConfig(
             num_steps=num_steps, lr=lr, gate_threshold=gate_threshold
         )
-        fitted, aux = fit_priors_batched(
-            prior_model,
-            prior_stack,
-            jnp.asarray(pts),
-            jnp.asarray(targets),
-            cfg,
-            retry_keys=jax.random.split(
-                jax.random.PRNGKey(self.config.seed + 1), len(self.samples)
-            ),
-            valid_mask=jnp.asarray(valid),
-            point_masks=jnp.asarray(masks),
+        retry_keys = jax.random.split(
+            jax.random.PRNGKey(self.config.seed + 1), len(self.samples)
+        )
+        # chunk the vmapped fit: fixed-size chunks reuse ONE compiled
+        # program, keep peak memory flat, and stay inside the validated
+        # program-size envelope (a 51-wide vmapped dense fit has crashed
+        # the TPU worker; 8-wide is the bench-validated width)
+        b = len(self.samples)
+        chunk = max(1, min(chunk, b))
+        fitted_chunks, gate_chunks = [], []
+        valid_arr = np.asarray(valid)
+        for lo in range(0, b, chunk):
+            hi = min(lo + chunk, b)
+            sel = slice(lo, hi)
+            f, aux = fit_priors_batched(
+                prior_model,
+                jax.tree_util.tree_map(lambda x: x[sel], prior_stack),
+                jnp.asarray(pts[sel]),
+                jnp.asarray(targets[sel]),
+                cfg,
+                retry_keys=retry_keys[sel],
+                valid_mask=jnp.asarray(valid_arr[sel]),
+                point_masks=jnp.asarray(masks[sel]),
+            )
+            fitted_chunks.append(f)
+            gate_chunks.append(np.asarray(aux.get("gate_iou", [])))
+        fitted = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *fitted_chunks
         )
         # write the refit priors back into the stacked wrapper params
         self.stacked_params = dict(self.stacked_params, prior=fitted)
         return {
-            "gate_iou": np.asarray(aux.get("gate_iou", [])),
-            "valid": np.asarray(valid),
+            "gate_iou": np.concatenate(gate_chunks)
+            if gate_chunks and gate_chunks[0].size else np.asarray([]),
+            "valid": valid_arr,
         }
 
     def _prior_slice_of_stack(self):
