@@ -689,6 +689,53 @@ class AwesomeRunner(Runner):
                 fitted,
                 self.stacked_params["prior"],
             )
+            # the reference gates EVERY fit (warm-started ones included):
+            # IoU < threshold -> reset and retry with the FULL epoch count
+            # (`path_connected_net.py:964-982` /
+            # `multiple_object_aware_path_connected_net.py:261-347`
+            # num_retrys>0 always uses num_epochs). One vmapped refit pass
+            # on the failed subset via the batched engine's retry path.
+            from awesome_tpu.fit.prior_fit import _gate_iou
+
+            vgate = jax.jit(jax.vmap(
+                lambda p, x, t, m: _gate_iou(
+                    prior_model, p, x, t, fit_cfg, m
+                ),
+                in_axes=(0, 0, 0, 0),
+            ))
+            scores = vgate(fitted, points, jnp.asarray(unaries),
+                           jnp.asarray(pmask))
+            aux["gate_iou"] = scores
+            failed = np.asarray(scores < 0.5) & np.asarray(valid)
+            if failed.any():
+                # fresh-init reset before the retry, reference semantics
+                fresh = jax.vmap(prior_model.init)(jax.random.split(
+                    jax.random.PRNGKey(cfg.seed + 11), len(self.samples)
+                ))
+                refit2, _ = fit_priors_batched(
+                    prior_model,
+                    fresh,
+                    points,
+                    jnp.asarray(unaries),
+                    dataclasses.replace(fit_cfg, gate_threshold=None),
+                    valid_mask=jnp.asarray(failed),
+                    point_masks=jnp.asarray(pmask),
+                )
+                r2_scores = vgate(refit2, points, jnp.asarray(unaries),
+                                  jnp.asarray(pmask))
+                take = failed
+                fitted = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        jnp.asarray(take).reshape(
+                            (-1,) + (1,) * (new.ndim - 1)
+                        ), new, old
+                    ),
+                    refit2,
+                    fitted,
+                )
+                aux["gate_iou"] = jnp.where(
+                    jnp.asarray(take), r2_scores, scores
+                )
         else:
             fitted, aux = fit_priors_batched(
                 prior_model,

@@ -127,3 +127,32 @@ def test_run_script_fbms_dispatch(tmp_path, monkeypatch):
     from awesome_tpu.fit.checkpoint import pytree_exists
 
     assert pytree_exists(str(tmp_path / "ps"))
+
+
+def test_reuse_state_pretrain_gate_and_retry(tmp_path):
+    """The sequential (reuse_state) pretrain gates every fit and retries
+    failed ones from a fresh init at the FULL epoch count
+    (`path_connected_net.py:964-982`): with too few steps to fit, the
+    retry path executes and gate scores are reported per image."""
+    import numpy as np
+
+    from awesome_tpu.runner.config import AwesomeConfig
+    from awesome_tpu.runner.runner import AwesomeRunner
+
+    cfg = AwesomeConfig(
+        name_experiment="seq_gate",
+        runs_path=str(tmp_path),
+        num_epochs=2,
+        dataset_args={"dimension": "2d", "n": 3, "h": 16, "w": 16},
+        optimizer_args={"lr": 0.02},
+        pretrain_args={"reuse_state": True, "num_epochs": 3,
+                       "reuse_state_epochs": 2},
+        do_pretraining=True,
+        compute_metrics_during_training_nth_epoch=0,
+    )
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    res = runner.pretrain()
+    gates = np.asarray(res["gate_iou"])
+    assert gates.shape == (3,)
+    assert np.isfinite(gates).all()
