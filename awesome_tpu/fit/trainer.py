@@ -506,6 +506,7 @@ def make_multi_object_train_step(
 
     def step(state: MultiObjectTrainState, batch):
         idx = batch["index"]
+        lr_scale = batch.get("lr_scale", 1.0)
         children_batch = jax.tree_util.tree_map(
             lambda x: x[idx], state.prior_params["children"]
         )
@@ -547,7 +548,7 @@ def make_multi_object_train_step(
 
         if cfg.train_segmentation:
             new_seg, new_seg_opt = seg_upd(
-                state.seg_params, seg_g, state.seg_opt, cfg.lr
+                state.seg_params, seg_g, state.seg_opt, cfg.lr * lr_scale
             )
             new_seg = T.tree_where(ok, new_seg, state.seg_params)
             new_seg_opt = jax.tree_util.tree_map(
@@ -567,7 +568,7 @@ def make_multi_object_train_step(
             )
 
         def upd_child(pp, g, op):
-            new_pp, new_op = prior_upd(pp, g, op, cfg.prior_lr,
+            new_pp, new_op = prior_upd(pp, g, op, cfg.prior_lr * lr_scale,
                                        weight_decay=wd)
             if hasattr(mp.child, "enforce_convexity"):
                 new_pp = mp.child.enforce_convexity(new_pp)
@@ -624,7 +625,7 @@ def make_multi_object_epoch_fn(
     'target_obj' (T,H,W,K), 'labeled' (T,H,W)."""
     step = make_multi_object_train_step(wrapper, cfg)
 
-    def epoch(state, data, idx_mat, wgt_mat):
+    def epoch(state, data, idx_mat, wgt_mat, lr_scale=1.0):
         per_frame_grid = data["grid"].ndim == 3
 
         def body(st, xs):
@@ -637,6 +638,7 @@ def make_multi_object_epoch_fn(
                 "labeled": data["labeled"][idx],
                 "index": idx,
                 "weight": wgt,
+                "lr_scale": lr_scale,
             }
             return step(st, batch)
 

@@ -326,19 +326,25 @@ class FBMSRunner:
         from awesome_tpu.measures.metrics import iou
 
         points = sequence_points(self.shape, len(self.dataset))
-        ious: List[float] = []
+        indices, gts = [], []
         for idx in self.dataset.get_ground_truth_indices():
             gt = self.dataset.load_ground_truth(idx)
-            if gt is None:
-                continue
-            prob = jax.nn.sigmoid(
-                self.model.apply(self.params, points[idx])
-            ).reshape(self.shape)
-            ious.append(
-                float(
-                    iou(prob < 0.5, jnp.asarray(gt) < 0.5)
-                )  # fg = 0 on both sides
-            )
+            if gt is not None:
+                indices.append(idx)
+                gts.append(gt)
+        ious: List[float] = []
+        if indices:
+            # all GT frames in ONE vmapped device call
+            probs = np.asarray(jax.jit(jax.vmap(
+                lambda p: jax.nn.sigmoid(self.model.apply(self.params, p))
+            ))(points[jnp.asarray(np.asarray(indices))]))
+            for k, gt in enumerate(gts):
+                prob = probs[k].reshape(self.shape)
+                ious.append(
+                    float(
+                        iou(prob < 0.5, jnp.asarray(gt) < 0.5)
+                    )  # fg = 0 on both sides
+                )
         return {
             "MeanForegroundBinaryMIOU": float(np.mean(ious)) if ious else 0.0,
             "num_gt_frames": len(ious),
