@@ -947,3 +947,18 @@ class FBMSRunner:
             if getattr(self, "joint_tracker", None) else {},
             config={},
         ).save(os.path.join(directory, tag))
+
+    def export_tensorboard(self, log_dir: str) -> str:
+        """Write the joint tracker's curves as TensorBoard events (real
+        event files when the writer is available, JSONL fallback) — the
+        reference's Tensorboard adapter role
+        (`awesome/util/tensorboard.py:28-122`)."""
+        from awesome_tpu.utils.tensorboard import Tensorboard
+
+        tb = Tensorboard(log_dir)
+        if getattr(self, "joint_tracker", None):
+            tb.attach_to_tracker(self.joint_tracker)
+        if self.awesome_config is not None:
+            tb.log_config_markdown(self.awesome_config)
+        tb.close()
+        return log_dir

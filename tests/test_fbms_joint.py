@@ -185,3 +185,25 @@ def test_scheduler_from_config():
     s2 = FBMSRunner._scheduler_from_config(cfg2)
     assert s2 == {"type": "plateau", "factor": 0.2, "patience": 3}
     assert FBMSRunner._scheduler_from_config(AwesomeConfig()) is None
+
+
+def test_export_tensorboard(tmp_path):
+    import os
+
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    cfg = FBMSExperimentConfig(
+        dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+        convex_hidden_units=12, convex_hidden_layers=1,
+    )
+    runner = FBMSRunner(cfg)
+    runner.build()
+    runner.train_joint(num_epochs=2, batch_size=2, eval_nth_epoch=1)
+    out = runner.export_tensorboard(str(tmp_path / "tb"))
+    assert os.path.isdir(out)
+    assert any(os.scandir(out))
