@@ -267,6 +267,116 @@ def _gate_iou(model, params, points, target_points, cfg: FitConfig,
     return iou(prob > 0.5, target > 0.5, invert=True)
 
 
+def make_batched_fit_fn(
+    model,
+    cfg: FitConfig,
+    per_image_points: bool = False,
+    with_point_masks: bool = False,
+    loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the REUSABLE batched fit ``fit(stacked_params, points,
+    stacked_targets, valid_mask=None, retry_keys=None, point_masks=None)
+    -> (fitted, aux)`` — jitted ONCE, so repeated calls (e.g. chunked
+    sweeps over a big dataset) hit the trace cache instead of re-tracing
+    per call. ``fit_priors_batched`` is the one-shot convenience wrapper.
+
+    Includes the IoU acceptance gate + fresh-init retry when
+    ``cfg.gate_threshold`` is set (`path_connected_net.py:964-982`).
+    """
+    fit = make_fit_fn(model, cfg, loss_fn)
+    pts_ax = 0 if per_image_points else None
+    in_axes = (0, pts_ax, 0, 0) + ((0,) if with_point_masks else ())
+    vfit = jax.jit(jax.vmap(fit, in_axes=in_axes))
+    gate_retry = make_gate_retry_fn(
+        model, cfg, per_image_points=per_image_points,
+        with_point_masks=with_point_masks, loss_fn=loss_fn,
+    )
+
+    def run(stacked_params, points, stacked_targets, valid_mask=None,
+            retry_keys=None, point_masks=None):
+        batch = stacked_targets.shape[0]
+        if valid_mask is None:
+            valid_mask = jnp.ones((batch,), dtype=bool)
+        mask_args = (point_masks,) if with_point_masks else ()
+        fitted, aux = vfit(stacked_params, points, stacked_targets,
+                           valid_mask, *mask_args)
+        gate = jnp.ones((batch,), dtype=bool)
+        if cfg.gate_threshold is not None:
+            fitted, scores = gate_retry(
+                fitted, points, stacked_targets, valid_mask,
+                retry_keys=retry_keys, point_masks=point_masks,
+            )
+            aux["gate_iou"] = scores
+            gate = scores >= cfg.gate_threshold
+        aux["gate_pass"] = gate
+        aux["valid"] = valid_mask
+        return fitted, aux
+
+    return run
+
+
+def make_gate_retry_fn(
+    model,
+    cfg: FitConfig,
+    per_image_points: bool = False,
+    with_point_masks: bool = False,
+    loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the reusable acceptance gate + retry:
+    ``gr(fitted, points, targets, valid_mask, retry_keys=None,
+    point_masks=None) -> (fitted, scores)``.
+
+    Scores every fit's masked gate IoU against ``cfg.gate_threshold``
+    (NaN scores count as FAILED — ``>=`` is False for NaN) and, when
+    ``retry_keys`` are given, refits failures from FRESH inits at the
+    full ``cfg.num_steps`` in one vmapped pass, keeping the retry result
+    (the reference keeps the last attempt,
+    `path_connected_net.py:964-982`). Shared by the batched and the
+    sequential (reuse_state) pretrain paths.
+    """
+    pts_ax = 0 if per_image_points else None
+    in_axes = (0, pts_ax, 0, 0) + ((0,) if with_point_masks else ())
+    gate_axes = (0, pts_ax, 0) + ((0,) if with_point_masks else ())
+    vgate = jax.jit(jax.vmap(
+        lambda p, x, t, *m: _gate_iou(model, p, x, t, cfg, *m),
+        in_axes=gate_axes,
+    ))
+    refit_cfg = dataclasses.replace(cfg, gate_threshold=None)
+    refit = make_fit_fn(model, refit_cfg, loss_fn)
+    vrefit = jax.jit(jax.vmap(refit, in_axes=in_axes))
+    vinit = jax.jit(jax.vmap(model.init))
+
+    def gr(fitted, points, stacked_targets, valid_mask, retry_keys=None,
+           point_masks=None):
+        mask_args = (point_masks,) if with_point_masks else ()
+        scores = vgate(fitted, points, stacked_targets, *mask_args)
+        if retry_keys is None or cfg.gate_retries <= 0 or (
+            cfg.gate_threshold is None
+        ):
+            return fitted, scores
+        gate = scores >= cfg.gate_threshold
+        failed = jnp.logical_and(~gate, valid_mask)
+        fresh = vinit(retry_keys)
+        refitted, _ = vrefit(
+            fresh, points, stacked_targets, failed, *mask_args
+        )
+        retry_scores = vgate(refitted, points, stacked_targets, *mask_args)
+        # keep the retry only where it actually ran; prefer it even if
+        # still under threshold (reference keeps the last attempt).
+        take_retry = failed
+        fitted = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                take_retry.reshape((-1,) + (1,) * (new.ndim - 1)),
+                new, old,
+            ),
+            refitted,
+            fitted,
+        )
+        return fitted, jnp.where(take_retry, retry_scores, scores)
+
+    return gr
+
+
 def fit_priors_batched(
     model,
     stacked_params: Params,
@@ -291,57 +401,19 @@ def fit_priors_batched(
       (`path_connected_net.py:964-982`) as one extra vmapped pass.
     - ``point_masks``: (B, N) bool for bucket-padded heterogeneous sizes —
       padded points carry loss weight 0 and are excluded from the gate IoU.
+
+    Builds the engine fresh each call; for repeated same-shape calls use
+    :func:`make_batched_fit_fn` once.
     """
-    fit = make_fit_fn(model, cfg, loss_fn)
-    per_image_points = points.ndim == 3
-    pts_ax = 0 if per_image_points else None
-    in_axes = (0, pts_ax, 0, 0) + ((0,) if point_masks is not None else ())
-    batch = stacked_targets.shape[0]
-    if valid_mask is None:
-        valid_mask = jnp.ones((batch,), dtype=bool)
-    mask_args = (point_masks,) if point_masks is not None else ()
-
-    vfit = jax.jit(jax.vmap(fit, in_axes=in_axes))
-    fitted, aux = vfit(stacked_params, points, stacked_targets, valid_mask,
-                       *mask_args)
-
-    gate = jnp.ones((batch,), dtype=bool)
-    if cfg.gate_threshold is not None:
-        gate_axes = (0, pts_ax, 0) + (
-            (0,) if point_masks is not None else ()
-        )
-        vgate = jax.jit(jax.vmap(
-            lambda p, x, t, *m: _gate_iou(model, p, x, t, cfg, *m),
-            in_axes=gate_axes,
-        ))
-        scores = vgate(fitted, points, stacked_targets, *mask_args)
-        gate = scores >= cfg.gate_threshold
-        aux["gate_iou"] = scores
-        if retry_keys is not None and cfg.gate_retries > 0:
-            failed = jnp.logical_and(~gate, valid_mask)
-            fresh = jax.vmap(model.init)(retry_keys)
-            refit_cfg = dataclasses.replace(cfg, gate_threshold=None)
-            refit = make_fit_fn(model, refit_cfg, loss_fn)
-            refitted, _ = jax.jit(jax.vmap(refit, in_axes=in_axes))(
-                fresh, points, stacked_targets, failed, *mask_args
-            )
-            retry_scores = vgate(refitted, points, stacked_targets,
-                                 *mask_args)
-            # keep the retry only where it actually ran; prefer it even if
-            # still under threshold (reference keeps the last attempt).
-            take_retry = failed
-            fitted = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    take_retry.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-                ),
-                refitted,
-                fitted,
-            )
-            aux["gate_iou"] = jnp.where(take_retry, retry_scores, scores)
-            gate = aux["gate_iou"] >= cfg.gate_threshold
-    aux["gate_pass"] = gate
-    aux["valid"] = valid_mask
-    return fitted, aux
+    run = make_batched_fit_fn(
+        model, cfg,
+        per_image_points=points.ndim == 3,
+        with_point_masks=point_masks is not None,
+        loss_fn=loss_fn,
+    )
+    return run(stacked_params, points, stacked_targets,
+               valid_mask=valid_mask, retry_keys=retry_keys,
+               point_masks=point_masks)
 
 
 def fit_multi_object_priors(

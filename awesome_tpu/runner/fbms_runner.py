@@ -41,6 +41,40 @@ class FBMSExperimentConfig:
     seed: int = 42
 
 
+class _EpochLrSchedule:
+    """Host-side epoch-level LR schedule shared by the joint loops:
+    torch StepLR / ReduceLROnPlateau(mode='min', threshold_mode='rel')
+    transitions producing the traced ``lr_scale``
+    (`awesome/run/awesome_runner.py:465-472`)."""
+
+    def __init__(self, scheduler):
+        self.scheduler = scheduler or {}
+        self.scale = 1.0
+        self._best = float("inf")
+        self._wait = 0
+
+    @property
+    def needs_loss(self) -> bool:
+        return self.scheduler.get("type") == "plateau"
+
+    def update(self, epoch: int, mean_loss=None) -> float:
+        s = self.scheduler
+        if s.get("type") == "step":
+            if (epoch + 1) % int(s.get("step_size", 100)) == 0:
+                self.scale *= float(s.get("gamma", 0.1))
+        elif s.get("type") == "plateau" and mean_loss is not None:
+            # improvement only if loss < best * (1 - rel_threshold)
+            rel = float(s.get("threshold", 1e-4))
+            if mean_loss < self._best * (1.0 - rel):
+                self._best, self._wait = mean_loss, 0
+            else:
+                self._wait += 1
+                if self._wait > int(s.get("patience", 100)):
+                    self.scale *= float(s.get("factor", 0.1))
+                    self._wait = 0
+        return self.scale
+
+
 class FBMSRunner:
     def __init__(self, config: FBMSExperimentConfig, dataset=None):
         self.config = config
@@ -115,6 +149,8 @@ class FBMSRunner:
                 pretrain_steps=int(
                     (cfg.pretrain_args or {}).get("num_epochs", 400)
                 ) if cfg.do_pretraining else 0,
+                scheduler=self._scheduler_from_config(cfg),
+                watchdog_lr=self._watchdog_lr_from_config(cfg),
             )
         return self.train_joint(
             num_epochs=num_epochs or cfg.num_epochs,
@@ -131,15 +167,7 @@ class FBMSRunner:
             use_prior=cfg.use_prior_model,
             eval_nth_epoch=cfg.compute_metrics_during_training_nth_epoch,
             scheduler=self._scheduler_from_config(cfg),
-            watchdog_lr=(
-                float(cfg.lr_stop_training_watchdog_args.get(
-                    "learning_rate", 1e-7
-                ))
-                if cfg.use_lr_stop_training_watchdog
-                and (cfg.use_lr_on_plateau_scheduler
-                     or cfg.use_step_lr_scheduler)
-                else None
-            ),
+            watchdog_lr=self._watchdog_lr_from_config(cfg),
         )
 
     @staticmethod
@@ -155,7 +183,19 @@ class FBMSRunner:
             a = cfg.lr_on_plateau_scheduler_args or {}
             return {"type": "plateau",
                     "factor": float(a.get("factor", 0.1)),
-                    "patience": int(a.get("patience", 100))}
+                    "patience": int(a.get("patience", 100)),
+                    "threshold": float(a.get("threshold", 1e-4))}
+        return None
+
+    @staticmethod
+    def _watchdog_lr_from_config(cfg) -> Optional[float]:
+        """LR-watchdog floor; only meaningful when some scheduler can
+        actually decay the LR."""
+        if cfg.use_lr_stop_training_watchdog and (
+            cfg.use_lr_on_plateau_scheduler or cfg.use_step_lr_scheduler
+        ):
+            a = cfg.lr_stop_training_watchdog_args or {}
+            return float(a.get("learning_rate", 1e-7))
         return None
 
     def run_pretrain_only_from_config(self, zoo=None, **overrides):
@@ -471,38 +511,62 @@ class FBMSRunner:
         state = self.joint_state
         wrapper = self.joint_wrapper
         h, w = self.shape
-        grid = G.flatten_grid(G.pixel_grid((h, w)))
-        indices, gts = [], []
-        for idx in self.dataset.get_ground_truth_indices():
-            gt = self.dataset.load_ground_truth(idx)
-            if gt is not None:
-                indices.append(idx)
-                gts.append(gt)
-        seg_ious, prior_ious = [], []
-        if indices:
-            imgs = np.stack([
-                self.dataset.load_frame(i).astype(np.float32)
-                for i in indices
-            ])
-            fts = np.stack(
-                [edge_map(imgs[i])[..., None] for i in range(len(indices))]
-            )
-            idx_arr = jnp.asarray(np.asarray(indices, np.int32))
+        # cache the jitted batch evaluator + stacked GT frames on self:
+        # the in-training eval cadence calls this every nth epoch, and a
+        # fresh jit(vmap(closure)) per call would retrace (and on the
+        # tunneled chip recompile) every tick
+        cache = getattr(self, "_eval_joint_cache", None)
+        if cache is None or cache["wrapper"] is not wrapper:
+            grid = G.flatten_grid(G.pixel_grid((h, w)))
+            indices, gts = [], []
+            for idx in self.dataset.get_ground_truth_indices():
+                gt = self.dataset.load_ground_truth(idx)
+                if gt is not None:
+                    indices.append(idx)
+                    gts.append(gt)
+            if indices:
+                imgs = np.stack([
+                    self.dataset.load_frame(i).astype(np.float32)
+                    for i in indices
+                ])
+                fts = np.stack([
+                    edge_map(imgs[i])[..., None]
+                    for i in range(len(indices))
+                ])
+            else:
+                imgs = fts = np.zeros((0, h, w, 1), np.float32)
 
-            def one(img, ft, frame_idx):
-                params = {"seg": state.seg_params}
-                if wrapper.prior_module is not None:
-                    params["prior"] = T.tree_select(
-                        state.prior_params, frame_idx
+            def batch_eval(seg_params, seg_state, prior_params, imgs_,
+                           fts_, idx_arr):
+                def one(img, ft, frame_idx):
+                    params = {"seg": seg_params}
+                    if wrapper.prior_module is not None:
+                        params["prior"] = T.tree_select(
+                            prior_params, frame_idx
+                        )
+                    out, _ = wrapper.apply(
+                        params, img[None], features=ft[None], grid=grid,
+                        seg_state=seg_state, train=False,
                     )
-                out, _ = wrapper.apply(
-                    params, img[None], features=ft[None], grid=grid,
-                    seg_state=state.seg_state, train=False,
-                )
-                return out[0]
+                    return out[0]
 
-            outs = np.asarray(jax.jit(jax.vmap(one))(
-                jnp.asarray(imgs), jnp.asarray(fts), idx_arr
+                return jax.vmap(one)(imgs_, fts_, idx_arr)
+
+            cache = {
+                "wrapper": wrapper,
+                "fn": jax.jit(batch_eval),
+                "imgs": jnp.asarray(imgs),
+                "fts": jnp.asarray(fts),
+                "idx": jnp.asarray(np.asarray(indices, np.int32)),
+                "gts": gts,
+            }
+            self._eval_joint_cache = cache
+        gts = cache["gts"]
+        seg_ious, prior_ious = [], []
+        if gts:
+            outs = np.asarray(cache["fn"](
+                state.seg_params, state.seg_state, state.prior_params,
+                cache["imgs"], cache["fts"], cache["idx"],
             ))
             for k, gt in enumerate(gts):
                 gt_fg = np.asarray(gt) < 0.5
@@ -537,6 +601,8 @@ class FBMSRunner:
         pretrain_steps: int = 0,
         refit_grown_steps: Optional[int] = None,
         pretrain_weight_mode: str = "equal",
+        scheduler: Optional[Dict] = None,
+        watchdog_lr: Optional[float] = None,
     ) -> Dict:
         """Multi-object joint training: a shared UNet with one output
         channel per object slot + per-frame child priors
@@ -653,6 +719,9 @@ class FBMSRunner:
         }
         rng = np.random.default_rng(seed)
         bs = min(batch_size or 1, t)
+        sched = _EpochLrSchedule(scheduler)
+        lr_scale = 1.0
+        stopped_early = False
         losses = []
         growth_events = []
         for e in range(num_epochs):
@@ -673,14 +742,27 @@ class FBMSRunner:
                 growth_events.append((e, new_count))
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
-                state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat)
+                state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat),
+                jnp.float32(lr_scale),
             )
             losses.append(metrics["loss"])
+            lr_scale = sched.update(
+                e,
+                float(np.asarray(metrics["loss"]).mean())
+                if sched.needs_loss else None,
+            )
+            if watchdog_lr is not None and (
+                min(lr, prior_lr) * lr_scale <= watchdog_lr
+            ):
+                logger.info("LR watchdog stop at epoch %d", e + 1)
+                stopped_early = True
+                break
         self.multi_state = jax.block_until_ready(state)
         self.multi_wrapper = wrapper
         return {
             "loss": [float(v) for m in losses for v in np.asarray(m).ravel()],
             "growth_events": growth_events,
+            "stopped_early": stopped_early,
         }
 
     def evaluate_multi_object(self) -> Dict[str, Any]:
@@ -862,8 +944,8 @@ class FBMSRunner:
         # epoch-level LR scheduling on the host (the reference steps its
         # schedulers via epoch events, `awesome_runner.py:465-475`); the
         # scale reaches the compiled step as a traced scalar — no retrace
+        sched = _EpochLrSchedule(scheduler)
         lr_scale = 1.0
-        plateau_best, plateau_wait = float("inf"), 0
         stopped_early = False
         epoch_metrics = []
         for e in range(num_epochs):
@@ -873,30 +955,17 @@ class FBMSRunner:
                 jnp.float32(lr_scale),
             )
             epoch_metrics.append(metrics)  # device arrays; no sync here
-            if scheduler and scheduler.get("type") == "step":
-                # torch StepLR: decay every step_size epochs
-                if (e + 1) % int(scheduler.get("step_size", 100)) == 0:
-                    lr_scale *= float(scheduler.get("gamma", 0.1))
-            elif scheduler and scheduler.get("type") == "plateau":
-                mean_loss = float(np.asarray(metrics["loss"]).mean())
-                if mean_loss < plateau_best - 1e-8:
-                    plateau_best, plateau_wait = mean_loss, 0
-                else:
-                    plateau_wait += 1
-                    if plateau_wait > int(scheduler.get("patience", 100)):
-                        lr_scale *= float(scheduler.get("factor", 0.1))
-                        plateau_wait = 0
-            if watchdog_lr is not None and (
+            lr_scale = sched.update(
+                e,
+                float(np.asarray(metrics["loss"]).mean())
+                if sched.needs_loss else None,
+            )
+            watchdog_fired = watchdog_lr is not None and (
                 min(lr, prior_lr) * lr_scale <= watchdog_lr
-            ):
-                # LearningRateStopTrainingWatchdog: StopTraining once the
-                # LR has decayed to the floor
-                # (`event/watchdogs/learning_rate_stop_training_watchdog.py:64`)
-                logger.info("LR watchdog stop at epoch %d", e + 1)
-                stopped_early = True
-                break
+            )
             if eval_nth_epoch and ((e + 1) % eval_nth_epoch == 0
-                                   or e + 1 == num_epochs):
+                                   or e + 1 == num_epochs
+                                   or watchdog_fired):
                 # in-training eval + best-model gate need the current
                 # state on the host path (one sync per cadence tick)
                 self.joint_state = jax.block_until_ready(state)
@@ -915,6 +984,14 @@ class FBMSRunner:
                         self._save_joint_checkpoint(
                             state, checkpoint_dir, "best"
                         )
+            if watchdog_fired:
+                # LearningRateStopTrainingWatchdog: StopTraining once the
+                # LR has decayed to the floor — AFTER the stopping epoch
+                # has been evaluated / best-model-considered
+                # (`event/watchdogs/learning_rate_stop_training_watchdog.py:64`)
+                logger.info("LR watchdog stop at epoch %d", e + 1)
+                stopped_early = True
+                break
         self.joint_state = jax.block_until_ready(state)
         self.joint_wrapper = wrapper
         if self.best_joint_state is None:

@@ -691,51 +691,23 @@ class AwesomeRunner(Runner):
             )
             # the reference gates EVERY fit (warm-started ones included):
             # IoU < threshold -> reset and retry with the FULL epoch count
-            # (`path_connected_net.py:964-982` /
-            # `multiple_object_aware_path_connected_net.py:261-347`
-            # num_retrys>0 always uses num_epochs). One vmapped refit pass
-            # on the failed subset via the batched engine's retry path.
-            from awesome_tpu.fit.prior_fit import _gate_iou
+            # (`path_connected_net.py:964-982` — num_retrys>0 always uses
+            # num_epochs). The shared engine helper handles scoring, NaN
+            # semantics and the fresh-init vmapped refit.
+            from awesome_tpu.fit.prior_fit import make_gate_retry_fn
 
-            vgate = jax.jit(jax.vmap(
-                lambda p, x, t, m: _gate_iou(
-                    prior_model, p, x, t, fit_cfg, m
-                ),
-                in_axes=(0, 0, 0, 0),
-            ))
-            scores = vgate(fitted, points, jnp.asarray(unaries),
-                           jnp.asarray(pmask))
-            aux["gate_iou"] = scores
-            failed = np.asarray(scores < 0.5) & np.asarray(valid)
-            if failed.any():
-                # fresh-init reset before the retry, reference semantics
-                fresh = jax.vmap(prior_model.init)(jax.random.split(
+            gate_retry = make_gate_retry_fn(
+                prior_model, fit_cfg,
+                per_image_points=True, with_point_masks=True,
+            )
+            fitted, scores = gate_retry(
+                fitted, points, jnp.asarray(unaries), jnp.asarray(valid),
+                retry_keys=jax.random.split(
                     jax.random.PRNGKey(cfg.seed + 11), len(self.samples)
-                ))
-                refit2, _ = fit_priors_batched(
-                    prior_model,
-                    fresh,
-                    points,
-                    jnp.asarray(unaries),
-                    dataclasses.replace(fit_cfg, gate_threshold=None),
-                    valid_mask=jnp.asarray(failed),
-                    point_masks=jnp.asarray(pmask),
-                )
-                r2_scores = vgate(refit2, points, jnp.asarray(unaries),
-                                  jnp.asarray(pmask))
-                take = failed
-                fitted = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(
-                        jnp.asarray(take).reshape(
-                            (-1,) + (1,) * (new.ndim - 1)
-                        ), new, old
-                    ),
-                    refit2,
-                    fitted,
-                )
-                aux["gate_iou"] = jnp.where(
-                    jnp.asarray(take), r2_scores, scores
-                )
+                ),
+                point_masks=jnp.asarray(pmask),
+            )
+            aux["gate_iou"] = scores
         else:
             fitted, aux = fit_priors_batched(
                 prior_model,
@@ -1279,28 +1251,52 @@ class AwesomeRunner(Runner):
             jax.random.PRNGKey(self.config.seed + 1), len(self.samples)
         )
         # chunk the vmapped fit: fixed-size chunks reuse ONE compiled
-        # program, keep peak memory flat, and stay inside the validated
-        # program-size envelope (a 51-wide vmapped dense fit has crashed
-        # the TPU worker; 8-wide is the bench-validated width)
+        # program (built once via make_batched_fit_fn; the ragged tail is
+        # padded to the chunk width with valid_mask=False so it shares the
+        # same program), keep peak memory flat, and stay inside the
+        # validated program-size envelope (a 51-wide vmapped dense fit has
+        # crashed the TPU worker; 8-wide is the bench-validated width)
+        from awesome_tpu.fit.prior_fit import make_batched_fit_fn
+
         b = len(self.samples)
         chunk = max(1, min(chunk, b))
+        run = make_batched_fit_fn(
+            prior_model, cfg, per_image_points=True, with_point_masks=True
+        )
         fitted_chunks, gate_chunks = [], []
         valid_arr = np.asarray(valid)
+
+        def pad_tail(x, n):
+            if x.shape[0] == n:
+                return x
+            reps = np.repeat(x[-1:], n - x.shape[0], axis=0)
+            return np.concatenate([x, reps], axis=0)
+
         for lo in range(0, b, chunk):
             hi = min(lo + chunk, b)
+            n_real = hi - lo
             sel = slice(lo, hi)
-            f, aux = fit_priors_batched(
-                prior_model,
-                jax.tree_util.tree_map(lambda x: x[sel], prior_stack),
-                jnp.asarray(pts[sel]),
-                jnp.asarray(targets[sel]),
-                cfg,
-                retry_keys=retry_keys[sel],
-                valid_mask=jnp.asarray(valid_arr[sel]),
-                point_masks=jnp.asarray(masks[sel]),
+            chunk_valid = pad_tail(valid_arr[sel], chunk).copy()
+            chunk_valid[n_real:] = False  # pad slots pass through
+            f, aux = run(
+                jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(pad_tail(np.asarray(x[sel]),
+                                                   chunk)),
+                    prior_stack,
+                ),
+                jnp.asarray(pad_tail(pts[sel], chunk)),
+                jnp.asarray(pad_tail(targets[sel], chunk)),
+                valid_mask=jnp.asarray(chunk_valid),
+                retry_keys=jnp.asarray(
+                    pad_tail(np.asarray(retry_keys[sel]), chunk)
+                ),
+                point_masks=jnp.asarray(pad_tail(masks[sel], chunk)),
             )
-            fitted_chunks.append(f)
-            gate_chunks.append(np.asarray(aux.get("gate_iou", [])))
+            fitted_chunks.append(
+                jax.tree_util.tree_map(lambda x: x[:n_real], f)
+            )
+            gate = np.asarray(aux.get("gate_iou", []))
+            gate_chunks.append(gate[:n_real] if gate.size else gate)
         fitted = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *fitted_chunks
         )

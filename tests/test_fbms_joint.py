@@ -183,7 +183,8 @@ def test_scheduler_from_config():
         lr_on_plateau_scheduler_args={"factor": 0.2, "patience": 3},
     )
     s2 = FBMSRunner._scheduler_from_config(cfg2)
-    assert s2 == {"type": "plateau", "factor": 0.2, "patience": 3}
+    assert s2 == {"type": "plateau", "factor": 0.2, "patience": 3,
+                  "threshold": 1e-4}
     assert FBMSRunner._scheduler_from_config(AwesomeConfig()) is None
 
 
