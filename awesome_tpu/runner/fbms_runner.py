@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -168,6 +169,18 @@ class FBMSRunner:
             eval_nth_epoch=cfg.compute_metrics_during_training_nth_epoch,
             scheduler=self._scheduler_from_config(cfg),
             watchdog_lr=self._watchdog_lr_from_config(cfg),
+            plot_indices=cfg.plot_indices_during_training,
+            plot_nth_epoch=(
+                cfg.plot_indices_during_training_nth_epoch or 100
+            ),
+            plot_dir=(
+                os.path.join(
+                    cfg.output_folder
+                    or os.path.join(cfg.runs_path, cfg.run_name),
+                    "output",
+                )
+                if cfg.plot_indices_during_training else None
+            ),
         )
 
     @staticmethod
@@ -851,6 +864,9 @@ class FBMSRunner:
         checkpoint_dir: Optional[str] = None,
         scheduler: Optional[Dict] = None,  # {'type': 'step'|'plateau', ...}
         watchdog_lr: Optional[float] = None,  # stop when lr decays to this
+        plot_indices: Optional[List[int]] = None,  # frames to dump
+        plot_nth_epoch: int = 100,
+        plot_dir: Optional[str] = None,
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
@@ -984,6 +1000,14 @@ class FBMSRunner:
                         self._save_joint_checkpoint(
                             state, checkpoint_dir, "best"
                         )
+            if plot_indices and plot_dir and (
+                (e + 1) % plot_nth_epoch == 0 or e + 1 == num_epochs
+            ):
+                # periodic qualitative dumps of selected frames
+                # (`awesome/run/awesome_runner.py:304-333` _save_image)
+                self.joint_state = jax.block_until_ready(state)
+                self.joint_wrapper = wrapper
+                self._dump_joint_frames(plot_indices, plot_dir, e + 1)
             if watchdog_fired:
                 # LearningRateStopTrainingWatchdog: StopTraining once the
                 # LR has decayed to the floor — AFTER the stopping epoch
@@ -1006,6 +1030,46 @@ class FBMSRunner:
         ]
         return {"loss": losses, "stopped_early": stopped_early,
                 "final_lr_scale": lr_scale}
+
+    def _dump_joint_frames(self, indices, out_dir: str, epoch: int):
+        """Write seg/prior masks + overlays for selected frames during
+        joint training (`awesome/run/awesome_runner.py:304-333`)."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from awesome_tpu.core import grids as G
+        from awesome_tpu.core import tree as T
+        from awesome_tpu.data.image_sample import edge_map
+        from awesome_tpu.runner.functions import save_result
+
+        state = self.joint_state
+        wrapper = self.joint_wrapper
+        h, w = self.shape
+        grid = G.flatten_grid(G.pixel_grid((h, w)))
+        for idx in indices:
+            if idx >= len(self.dataset):
+                continue
+            img = self.dataset.load_frame(idx).astype(np.float32)
+            ft = edge_map(img)[..., None]
+            params = {"seg": state.seg_params}
+            if wrapper.prior_module is not None:
+                params["prior"] = T.tree_select(state.prior_params, idx)
+            out, _ = wrapper.apply(
+                params, jnp.asarray(img[None]),
+                features=jnp.asarray(ft[None]), grid=grid,
+                seg_state=state.seg_state, train=False,
+            )
+            out = np.asarray(out[0])
+            save_result(
+                os.path.join(out_dir, f"{idx:03d}", f"e{epoch:05d}"),
+                idx,
+                img,
+                out[:, :, 0] < 0.5,  # fg = low values
+                prior_mask=(out[:, :, 1] < 0.5) if out.shape[-1] > 1
+                else None,
+            )
 
     def _save_joint_checkpoint(self, state, directory: str, tag: str):
         """Agent-checkpoint save of the joint state (params + tracker).

@@ -208,3 +208,32 @@ def test_export_tensorboard(tmp_path):
     out = runner.export_tensorboard(str(tmp_path / "tb"))
     assert os.path.isdir(out)
     assert any(os.scandir(out))
+
+
+def test_joint_plot_dumps(tmp_path):
+    """Periodic qualitative frame dumps during joint training
+    (`awesome_runner.py:304-333` _save_image parity for the FBMS path)."""
+    import os
+
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    cfg = FBMSExperimentConfig(
+        dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+        convex_hidden_units=12, convex_hidden_layers=1,
+    )
+    runner = FBMSRunner(cfg)
+    runner.build()
+    out = str(tmp_path / "plots")
+    runner.train_joint(
+        num_epochs=2, batch_size=2,
+        plot_indices=[0, 2], plot_nth_epoch=1, plot_dir=out,
+    )
+    for idx in (0, 2):
+        d = os.path.join(out, f"{idx:03d}")
+        assert os.path.isdir(d)
+        assert len(os.listdir(d)) == 2  # one dump per epoch
