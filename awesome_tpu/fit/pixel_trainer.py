@@ -55,6 +55,10 @@ class PixelTrainConfig:
     # segmentation_training_mode 'none' (`awesome/run/awesome_runner.py:448`
     # exclude_segmentation_model): the seg subtree is excluded from updates.
     train_segmentation: bool = True
+    # split_params_in_param_groups + weight_decay_on_weight_norm_modules
+    # (`awesome/run/awesome_runner.py:427-444`): decay ONLY weight-norm
+    # magnitude leaves ('g') by this factor. 0 = off.
+    wn_weight_decay: float = 0.0
 
 
 class PixelTrainState(NamedTuple):
@@ -139,7 +143,15 @@ def _make_pixel_step(wrapper, cfg: PixelTrainConfig, loss_impl=None):
         lr = cfg.lr * (sched.scale if cfg.use_plateau else 1.0)
         if cfg.extra_penalty_after is not None:
             lr = jnp.where(extra, lr * cfg.extra_penalty_lr_factor, lr)
-        new_params, new_opt = update_fn(params, grads, opt_state, lr)
+        if cfg.wn_weight_decay > 0.0:
+            new_params, new_opt = update_fn(
+                params, grads, opt_state, lr,
+                weight_decay=optim.wn_param_groups(
+                    params, cfg.wn_weight_decay
+                ),
+            )
+        else:
+            new_params, new_opt = update_fn(params, grads, opt_state, lr)
         if has_clip:
             new_params = wrapper.enforce_convexity(new_params)
         if not cfg.train_segmentation and isinstance(new_params, dict) and (

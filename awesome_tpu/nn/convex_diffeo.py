@@ -36,7 +36,38 @@ class ConvexDiffeomorphismNet(Module):
         default_factory=lambda: ConvexNextNet(n_hidden=130, n_hidden_layers=1)
     )
 
+    @classmethod
+    def create(cls, in_features: int = 2, n_hidden: int = 130,
+               n_hidden_layers: int = 1, nf_layers: int = 4,
+               nf_hidden: int = 70) -> "ConvexDiffeomorphismNet":
+        """Reference-constructor equivalent
+        (`convex_diffeomorphism_net.py:41-60`): builds flow + convex nets
+        with matching feature counts (nf width default 70 there). The
+        coupling count is rounded up to a multiple of in_features so
+        every channel is transformed equally often."""
+        rem = nf_layers % in_features
+        if rem:
+            nf_layers += in_features - rem
+        return cls(
+            in_features=in_features,
+            flow=NormalizingFlow1D(
+                num_coupling=nf_layers, width=nf_hidden,
+                in_features=in_features,
+            ),
+            convex=ConvexNextNet(
+                n_hidden=n_hidden, n_hidden_layers=n_hidden_layers,
+                in_features=in_features,
+            ),
+        )
+
     def init(self, key):
+        if getattr(self.flow, "in_features", self.in_features) != (
+            self.in_features
+        ):
+            raise ValueError(
+                "flow.in_features must match in_features — use "
+                "ConvexDiffeomorphismNet.create(in_features=...)"
+            )
         k1, k2, k3 = jax.random.split(key, 3)
         return {
             "linear": Linear(self.in_features, self.in_features).init(k1),

@@ -96,12 +96,14 @@ class SimpleBackbone(Module):
 
     in_channels: int = 1
     network_width: int = 10
+    out_channels: Optional[int] = None  # default: same as in_channels
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
+        out = self.out_channels or self.in_channels
         return {
             "linear1": WNLinear(self.in_channels, self.network_width).init(k1),
-            "linear2": WNLinear(self.network_width, self.in_channels).init(k2),
+            "linear2": WNLinear(self.network_width, out).init(k2),
         }
 
     def apply(self, params, x):
@@ -175,10 +177,17 @@ class NormalizingFlow1D(Module):
     backbone: str = "default"  # 'default' | 'normal_block'
 
     def _backbone(self) -> Module:
+        # in_features > 2 rotates which channel is transformed (see apply);
+        # the conditioning backbone then maps the other d-1 channels -> 1.
+        # The reference declares this generalization in its divisibility
+        # check (`diffeomorphism_net.py:246-249` num_coupling %
+        # in_features) but its forward only implements d = 2.
+        cond = max(self.in_features - 1, 1)
         if self.backbone == "default":
-            return SimpleBackbone(in_channels=1, network_width=self.width)
+            return SimpleBackbone(in_channels=cond, network_width=self.width,
+                                  out_channels=1)
         if self.backbone in ("residual_block", "normal_block"):
-            return NormalBlock(in_channels=1, mid_channels=self.width, out_channels=1)
+            return NormalBlock(in_channels=cond, mid_channels=self.width, out_channels=1)
         raise ValueError(f"Unknown backbone: {self.backbone}")
 
     def init(self, key):
@@ -197,30 +206,36 @@ class NormalizingFlow1D(Module):
         }
 
     def apply(self, params, x):
+        # Coupling i transforms channel j = (i+1) % d conditioned on the
+        # other d-1 channels. For d = 2 this is exactly the reference's
+        # alternating scheme (even i: x2' = exp(s(x1))*x2 + t(x1)); for
+        # d > 2 it is the rotation its divisibility check promises.
         bb = self._backbone()
-        x1, x2 = x[:, :1], x[:, 1:2]
+        d = self.in_features
+        cols = [x[:, j:j + 1] for j in range(d)]
         for i in range(self.num_coupling):
+            j = (i + 1) % d
+            cond = jnp.concatenate(
+                [cols[k] for k in range(d) if k != j], axis=1
+            )
             scale = _wnscale_apply(params["scale"][i])
-            if i % 2 == 0:
-                s = scale * bb.apply(params["s"][i], x1)
-                x2 = jnp.exp(s) * x2 + bb.apply(params["t"][i], x1)
-            else:
-                s = scale * bb.apply(params["s"][i], x2)
-                x1 = jnp.exp(s) * x1 + bb.apply(params["t"][i], x2)
-        return jnp.concatenate([x1, x2], axis=1)
+            s = scale * bb.apply(params["s"][i], cond)
+            cols[j] = jnp.exp(s) * cols[j] + bb.apply(params["t"][i], cond)
+        return jnp.concatenate(cols, axis=1)
 
     def inverse(self, params, y):
         bb = self._backbone()
-        x1, x2 = y[:, :1], y[:, 1:2]
+        d = self.in_features
+        cols = [y[:, j:j + 1] for j in range(d)]
         for i in reversed(range(self.num_coupling)):
+            j = (i + 1) % d
+            cond = jnp.concatenate(
+                [cols[k] for k in range(d) if k != j], axis=1
+            )
             scale = _wnscale_apply(params["scale"][i])
-            if i % 2 == 0:
-                s = scale * bb.apply(params["s"][i], x1)
-                x2 = (x2 - bb.apply(params["t"][i], x1)) * jnp.exp(-s)
-            else:
-                s = scale * bb.apply(params["s"][i], x2)
-                x1 = (x1 - bb.apply(params["t"][i], x2)) * jnp.exp(-s)
-        return jnp.concatenate([x1, x2], axis=1)
+            s = scale * bb.apply(params["s"][i], cond)
+            cols[j] = (cols[j] - bb.apply(params["t"][i], cond)) * jnp.exp(-s)
+        return jnp.concatenate(cols, axis=1)
 
 
 def binary_counting_masks(channels: int, n_flows: int) -> np.ndarray:

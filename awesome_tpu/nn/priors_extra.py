@@ -61,6 +61,16 @@ class StarShapedNet(Module):
         ) - 1.0
         return out
 
+    def enforce_convexity(self, params):
+        """Radial monotonicity projection: clip W2_r >= 0 after the step,
+        matching the notebook's ``net.W2_r.weight.data = F.relu(...)``
+        (`notebooks/icml_teaser_code/star_shaped/star.ipynb` cell 3)."""
+        p = dict(params)
+        w2r = dict(p["W2_r"])
+        w2r["w"] = jax.nn.relu(w2r["w"])
+        p["W2_r"] = w2r
+        return p
+
 
 @dataclasses.dataclass(frozen=True)
 class RotationSymmetricNet(Module):

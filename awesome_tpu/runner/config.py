@@ -181,6 +181,9 @@ class AwesomeConfig(Config):
     dataset_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     # combined module
+    combined_segmentation_module_type: str = (
+        "awesome_tpu.nn.wrapper.WrapperModule"
+    )
     combined_segmentation_module_args: Dict[str, Any] = dataclasses.field(
         default_factory=dict
     )
@@ -192,6 +195,12 @@ class AwesomeConfig(Config):
     )
     segmentation_training_mode: str = "single"  # 'multi'|'single'|'none'
     use_segmentation_output_inversion: bool = False
+    # binary problems use ONE output channel + sigmoid instead of a
+    # 2-channel softmax head (`awesome/run/awesome_runner.py:64`)
+    use_binary_classification: bool = True
+    # pass GT targets into the segmentation module's forward (Mask-RCNN
+    # style training, `awesome/run/awesome_runner.py:151`)
+    segmentation_model_gets_targets: bool = False
 
     # prior
     prior_model_type: Optional[str] = None
@@ -223,6 +232,11 @@ class AwesomeConfig(Config):
     lr_stop_training_watchdog_args: Dict[str, Any] = dataclasses.field(
         default_factory=dict
     )
+    # weight-norm param-group split: decay ONLY the WN magnitude leaves by
+    # this factor (`awesome/run/awesome_runner.py:427-444` ->
+    # fit/optim.wn_param_groups)
+    split_params_in_param_groups: bool = False
+    weight_decay_on_weight_norm_modules: float = 5e-5
 
     # training
     num_epochs: int = 800
@@ -253,6 +267,30 @@ class AwesomeConfig(Config):
     plot_final_indices: Optional[Any] = None
     include_unaries_when_saving: bool = False
 
+    # semantic-soft-segmentation feature extraction (the 'feat'/'featxy'
+    # xytypes): directories for the external SSS code/checkpoint that the
+    # reference shells out to (`awesome/run/
+    # semantic_soft_segmentation_extractor.py`); consumed by
+    # runner.sss_extractor.SemanticSoftSegmentationExtractor.from_config.
+    semantic_soft_segmentation_code_dir: Optional[str] = None
+    semantic_soft_segmentation_model_checkpoint_dir: Optional[str] = None
+    tf_use_gpu: bool = False  # SSS shell-out accelerator flag (TF1-only)
+
+    # Mask-RCNN finetuning: restrict the finetune loss to box+mask terms
+    # (declared at `awesome/run/awesome_config.py`; not read by any shipped
+    # experiment path — kept for YAML round-trip fidelity)
+    mask_rcnn_finetune_box_mask_only: bool = False
+
+    # host-UI / provenance bookkeeping (no effect on computation):
+    # tqdm toggle, launching-script path and runner class recorded by the
+    # reference when persisting a run's config
+    use_progress_bar: bool = True
+    run_script_path: Optional[str] = None
+    used_runner_type: Optional[str] = None
+    # residual agent_args after the importer lifts the schema-known
+    # pretrain keys (reference nests them; see runner/reference_import.py)
+    agent_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
     # runtime
     device: str = "tpu"
     dtype: str = "float32"
@@ -270,3 +308,6 @@ class AwesomeConfig(Config):
         )
         self.loss_type = translate_reference_value(self.loss_type)
         self.optimizer_type = translate_reference_value(self.optimizer_type)
+        self.combined_segmentation_module_type = translate_reference_value(
+            self.combined_segmentation_module_type
+        )

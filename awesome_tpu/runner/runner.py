@@ -207,9 +207,19 @@ class AwesomeRunner(Runner):
         from awesome_tpu.nn.wrapper import WrapperModule
 
         cfg = self.config
+        # use_binary_classification (`awesome/run/awesome_runner.py:64`):
+        # binary problems get ONE sigmoid channel; disabling it requests a
+        # per-class channel head on models that expose out_chn
+        out_chn = 1 if cfg.use_binary_classification else 2
         if cfg.segmentation_model_type:
             seg_cls = dynamic_import(cfg.segmentation_model_type)
-            seg = seg_cls(**self._seg_args(seg_cls, cfg.segmentation_model_args))
+            seg_args = self._seg_args(seg_cls, cfg.segmentation_model_args)
+            fields = {f.name for f in dataclasses.fields(seg_cls)} if (
+                dataclasses.is_dataclass(seg_cls)
+            ) else set()
+            if "out_chn" in fields and "out_chn" not in seg_args:
+                seg_args["out_chn"] = out_chn
+            seg = seg_cls(**seg_args)
             if not getattr(self, "image_mode", False) and (
                 seg_cls.__name__ == "FCNet"
             ):
@@ -239,7 +249,12 @@ class AwesomeRunner(Runner):
                 prior = ConvexNextNet(**(cfg.prior_model_args or {}))
 
         image_mode = getattr(self, "image_mode", False)
-        self.wrapper = WrapperModule(
+        # combined_segmentation_module_type is config-selected
+        # (`awesome/run/awesome_runner.py:176-238` parse_type); the default
+        # resolves to WrapperModule
+        wrapper_cls = dynamic_import(cfg.combined_segmentation_module_type) \
+            if cfg.combined_segmentation_module_type else WrapperModule
+        self.wrapper = wrapper_cls(
             segmentation_module=seg,
             prior_module=prior,
             input_mode="image" if image_mode else "pixel",
@@ -248,6 +263,9 @@ class AwesomeRunner(Runner):
             ),
             use_segmentation_output_inversion=(
                 cfg.use_segmentation_output_inversion
+            ),
+            segmentation_module_gets_targets=(
+                cfg.segmentation_model_gets_targets
             ),
             **cfg.combined_segmentation_module_args,
         )
@@ -792,6 +810,11 @@ class AwesomeRunner(Runner):
                 else 0.0
             ),
             train_segmentation=(cfg.segmentation_training_mode != "none"),
+            wn_weight_decay=(
+                cfg.weight_decay_on_weight_norm_modules
+                if cfg.split_params_in_param_groups
+                else 0.0
+            ),
         )
 
     def _cadences(self) -> List[int]:

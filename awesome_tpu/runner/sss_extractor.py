@@ -36,6 +36,33 @@ class SemanticSoftSegmentationExtractor:
         self.command_template = command_template
         self.n_components = n_components
 
+    @classmethod
+    def from_config(cls, config, feature_dir: str,
+                    n_components: int = 2) -> "SemanticSoftSegmentationExtractor":
+        """Build from AwesomeConfig's SSS fields
+        (`awesome/run/awesome_config.py` semantic_soft_segmentation_code_dir
+        / _model_checkpoint_dir / tf_use_gpu): when a code dir is
+        configured, reproduce the reference's shell-out
+        (`awesome/run/semantic_soft_segmentation_extractor.py:139-176` runs
+        ``main.py`` inside the SSS checkout against the checkpoint dir);
+        otherwise precomputed-embedmap / proxy fallback."""
+        tmpl = None
+        code_dir = getattr(
+            config, "semantic_soft_segmentation_code_dir", None)
+        if code_dir:
+            ckpt = getattr(
+                config, "semantic_soft_segmentation_model_checkpoint_dir",
+                "") or ""
+            device = "" if getattr(config, "tf_use_gpu", False) else (
+                "CUDA_VISIBLE_DEVICES= ")
+            tmpl = (
+                f"cd {code_dir} && {device}python main.py"
+                f" --model-checkpoint-dir {ckpt}"
+                f" --image {{name}} --output-dir {feature_dir}"
+            )
+        return cls(feature_dir, command_template=tmpl,
+                   n_components=n_components)
+
     def extract(self, image: np.ndarray, name: str) -> np.ndarray:
         """(H, W, 3) float [0,1] -> (H, W, n_components) features."""
         from awesome_tpu.data.image_sample import (

@@ -1,0 +1,763 @@
+"""Real-image parity harness on the reference's own shipped data.
+
+The reference carries real input images AND its own result masks in-tree
+(`notebooks/how_to/data/*.jpg`, `notebooks/icml_teaser_code/*/original/*.png`).
+Each function here replays one shipped protocol — the exact likelihood
+construction, model, optimizer, step count and threshold of the
+corresponding notebook — through the TPU fit engine, then scores the
+produced mask by IoU against the reference's shipped result mask.
+
+Protocol specs (cited per function):
+- `notebooks/how_to/convexity.ipynb` cells 5-11 (tomato, ConvexNextNet)
+- `notebooks/how_to/path-connectedness.ipynb` cells 5-11 (cat, PC net)
+- `notebooks/icml_teaser_code/convex/convex.ipynb` (tomato, myConvexNet 150)
+- `notebooks/icml_teaser_code/star_shaped/star.ipynb` (starfish)
+- `notebooks/icml_teaser_code/rotation_symmetric/rotation_symmetric.ipynb`
+- `notebooks/icml_teaser_code/repeating/repeating.ipynb` (board)
+- `notebooks/icml_teaser_code/convex-depth/convex.ipynb` (depth ICNN-3)
+- `notebooks/icml_teaser_code/connectedness/diffeo_convex.ipynb` (cat,
+  ConvexDiffeomorphismNet)
+- `temporal_connectedness/` ships no notebook — only frames + per-frame
+  naive/result masks; we fit the (x,y,t) spatio-temporal engine on the
+  shipped NAIVE masks (the protocol's own input likelihoods) and score
+  per-frame against the shipped result masks.
+
+Where the notebooks subsample random fg/bg points per epoch (500-2000
+each), the engine runs full-batch with the matching per-class weights —
+identical loss in expectation, one compiled `lax.scan` instead of a
+Python loop.
+
+The shipped "original/" masks were produced by the authors' own
+(earlier, torch, stochastically sampled) runs, so bit parity is
+impossible by construction; IoU against them is the parity metric.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+REFERENCE_ROOT = os.environ.get("AWESOME_REFERENCE_ROOT", "/root/reference")
+TEASER_DIR = os.path.join(REFERENCE_ROOT, "notebooks", "icml_teaser_code")
+HOWTO_DIR = os.path.join(REFERENCE_ROOT, "notebooks", "how_to", "data")
+
+
+def reference_data_available() -> bool:
+    return os.path.isdir(TEASER_DIR) and os.path.isdir(HOWTO_DIR)
+
+
+# ---------------------------------------------------------------- loading
+
+
+def load_image(path: str, down_scale: float = 1) -> np.ndarray:
+    """float RGB in [0,1], resized by 1/down_scale via PIL (the notebooks'
+    shared loader: `how_to/convexity.ipynb` cell 3)."""
+    from PIL import Image
+
+    im = Image.open(path)
+    w, h = im.size
+    if down_scale != 1:
+        im = im.resize((int(w / down_scale), int(h / down_scale)))
+    arr = np.asarray(im, dtype=np.float64) / 255.0
+    if arr.ndim == 3:
+        arr = arr[..., :3]
+    return arr.astype(np.float32)
+
+
+def load_mask(path: str, shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Shipped single-channel mask -> bool (white = True). Some shipped
+    masks are resized/antialiased (`repeating/original/mask.png`), so
+    threshold at 127. Optionally nearest-resize to (h, w)."""
+    from PIL import Image
+
+    im = Image.open(path).convert("L")
+    if shape is not None and im.size != (shape[1], shape[0]):
+        im = im.resize((shape[1], shape[0]), Image.NEAREST)
+    return np.asarray(im) > 127
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, bool)
+    b = np.asarray(b, bool)
+    union = np.logical_or(a, b).sum()
+    return float(np.logical_and(a, b).sum() / max(union, 1))
+
+
+def centered_points(h: int, w: int):
+    """(H*W, 2) row-major (row/H - 0.5, col/W - 0.5) — the notebooks'
+    ``extractInformationFromLikelihood`` coordinate convention (nonzero
+    index order = row major; axis 0 = row / nx)."""
+    import jax.numpy as jnp
+
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return jnp.stack([(yy / h - 0.5).ravel(), (xx / w - 0.5).ravel()], axis=1)
+
+
+def class_weights(target: np.ndarray, w_one: float, w_zero: float):
+    """Per-point weights giving ``w_one * mean(points with target>=0.5)
+    + w_zero * mean(points with target<0.5)`` — the notebooks' weighted
+    per-class MSE (e.g. ``2*criterion(bg) + 1*criterion(fg)``) and the
+    expectation of their balanced random subsampling."""
+    import jax.numpy as jnp
+
+    t = jnp.asarray(target).reshape(-1)
+    ones = (t >= 0.5).astype(jnp.float32)
+    n1 = jnp.maximum(ones.sum(), 1.0)
+    n0 = jnp.maximum((1.0 - ones).sum(), 1.0)
+    return jnp.where(ones > 0, w_one / n1, w_zero / n0).reshape(-1, 1)
+
+
+def _weighted_se_loss(model, weights):
+    import jax
+    import jax.numpy as jnp
+
+    def loss_fn(params, points, target, _engine_weights):
+        out = model.apply(params, points)
+        prob = jax.nn.sigmoid(out)
+        return jnp.sum(weights * (prob - target) ** 2)
+
+    return loss_fn
+
+
+def _weighted_bce_loss(model, weights):
+    import jax
+    import jax.numpy as jnp
+
+    def loss_fn(params, points, target, _engine_weights):
+        logits = model.apply(params, points)
+        bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(
+            jnp.exp(-jnp.abs(logits))
+        )
+        return jnp.sum(weights * bce)
+
+    return loss_fn
+
+
+def minibatch_fit(
+    model,
+    params,
+    pts0,  # (N0, C) points with target 0
+    pts1,  # (N1, C) points with target 1
+    *,
+    steps: int,
+    n_sample: int,
+    lr: float,
+    loss: str = "se",  # 'se' (MSE on sigmoid) | 'bce'
+    coef0: float = 1.0,
+    coef1: float = 1.0,
+    concat_mean: bool = False,  # criterion over the concatenated batch
+    seed: int = 0,
+    params_are_phase2: bool = False,
+):
+    """The notebooks' exact training dynamic: every step draws a fresh
+    balanced random batch (n_sample per class) and takes one Adam step of
+    ``coef0 * crit(batch0) + coef1 * crit(batch1)`` (or one criterion over
+    the concatenated batch). The per-step subsampling noise is
+    load-bearing — full-batch fits of the same objectives get stuck in
+    half-plane optima on some seeds. One compiled ``lax.scan``; per-step
+    keys via ``fold_in``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import optim
+
+    n0, n1 = pts0.shape[0], pts1.shape[0]
+    if concat_mean:
+        w0 = w1 = 1.0 / (2 * n_sample)
+    else:
+        w0, w1 = coef0 / n_sample, coef1 / n_sample
+    has_clip = hasattr(model, "enforce_convexity")
+    base = jax.random.PRNGKey(seed + (1 << 20 if params_are_phase2 else 0))
+
+    def loss_fn(p, x0, x1):
+        out0 = model.apply(p, x0)
+        out1 = model.apply(p, x1)
+        if loss == "se":
+            l0 = (jax.nn.sigmoid(out0) - 0.0) ** 2
+            l1 = (jax.nn.sigmoid(out1) - 1.0) ** 2
+        elif loss == "bce":
+            # targets 0 / 1 with logits out
+            l0 = jnp.maximum(out0, 0) + jnp.log1p(jnp.exp(-jnp.abs(out0)))
+            l1 = jnp.maximum(out1, 0) - out1 + jnp.log1p(
+                jnp.exp(-jnp.abs(out1))
+            )
+        else:
+            raise ValueError(loss)
+        return w0 * l0.sum() + w1 * l1.sum()
+
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, k):
+        p, opt_state = carry
+        k0, k1 = jax.random.split(k)
+        i0 = jax.random.randint(k0, (n_sample,), 0, n0)
+        i1 = jax.random.randint(k1, (n_sample,), 0, n1)
+        lv, grads = vg(p, jnp.take(pts0, i0, axis=0),
+                       jnp.take(pts1, i1, axis=0))
+        new_p, new_opt = optim.adam_update(p, grads, opt_state, lr)
+        if has_clip:
+            new_p = model.enforce_convexity(new_p)
+        # skip steps with non-finite loss OR grads (radial nets divide by
+        # r; a batch hitting r ~ 0 at the trained offset can Inf the grad
+        # while the loss stays finite — one poisoned step kills the fit)
+        ok = jnp.logical_and(
+            jnp.isfinite(lv),
+            jax.tree_util.tree_reduce(
+                jnp.logical_and,
+                jax.tree_util.tree_map(
+                    lambda g: jnp.all(jnp.isfinite(g)), grads
+                ),
+                jnp.asarray(True),
+            ),
+        )
+        from awesome_tpu.core import tree as T
+
+        p = T.tree_where(ok, new_p, p)
+        opt_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+        )
+        return (p, opt_state), lv
+
+    @jax.jit
+    def run(p):
+        opt_state = optim.adam_init(p)
+        keys = jax.random.split(base, steps)
+        (p, _), hist = jax.lax.scan(step, (p, opt_state), keys)
+        return p, hist
+
+    return run(params)
+
+
+@dataclasses.dataclass
+class TeaserResult:
+    name: str
+    iou: float
+    mask: np.ndarray  # produced mask (bool, True = shipped-mask-white class)
+    ref_mask: np.ndarray
+    extra: Dict = dataclasses.field(default_factory=dict)
+
+
+def _scaled(steps: int, steps_scale: float) -> int:
+    return max(int(round(steps * steps_scale)), 1)
+
+
+# ---------------------------------------------------------------- teasers
+
+
+def run_convex_tomato(steps_scale: float = 1.0, down_scale: float = 1,
+                      seed: int = 0) -> TeaserResult:
+    """Teaser "convex": ICNN(150) on the full-scale tomato photo.
+
+    Spec `icml_teaser_code/convex/convex.ipynb`: likelihood =
+    sigmoid(1-(R-G-B-0.5)) minmaxed > 0.5 (tomato = 0); myConvexNet(150)
+    == ConvexNextNet(n_hidden=150, n_hidden_layers=1); Adam lr 1e-2,
+    700 epochs of balanced 2000+2000-point MSE on sigmoid; clip W1z/W2z
+    after each step; mask = logits < 0.5 (their threshold is on logits),
+    scored vs shipped `convex/mask.png`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import make_fit_fn
+    from awesome_tpu.nn.icnn import ConvexNextNet
+
+    img = load_image(os.path.join(TEASER_DIR, "convex",
+                                  "cocktail-tomatoes.jpg"), down_scale)
+    h, w = img.shape[:2]
+    raw = img[..., 0] - img[..., 1] - img[..., 2] - 0.5
+    lk = 1.0 / (1.0 + np.exp(-(1.0 - raw)))
+    lk = (lk - lk.min()) / max(lk.max() - lk.min(), 1e-9)
+    likelihood = (lk > 0.5).astype(np.float32)  # tomato = 0
+
+    model = ConvexNextNet(n_hidden=150, n_hidden_layers=1)
+    params = model.init(jax.random.PRNGKey(seed))
+    points = centered_points(h, w)
+    flat = np.asarray(points)
+    fitted, hist = minibatch_fit(
+        model, params,
+        jnp.asarray(flat[likelihood.reshape(-1) < 0.5]),  # tomato, target 0
+        jnp.asarray(flat[likelihood.reshape(-1) >= 0.5]),
+        steps=_scaled(700, steps_scale), n_sample=2000, lr=1e-2,
+        loss="se", concat_mean=True, seed=seed,
+    )
+    aux = {"loss_hist": hist}
+
+    logits = np.asarray(model.apply(fitted, points)).reshape(h, w)
+    mask = logits < 0.5
+    ref = load_mask(os.path.join(TEASER_DIR, "convex", "mask.png"), (h, w))
+    return TeaserResult("convex_tomato", mask_iou(mask, ref), mask, ref,
+                        {"loss": float(aux["loss_hist"][-1]),
+                         "naive_iou": mask_iou(likelihood < 0.5, ref)})
+
+
+def run_star(steps_scale: float = 1.0, down_scale: float = 2,
+             seed: int = 0) -> TeaserResult:
+    """Teaser "star_shaped": radial-monotone net on the starfish.
+
+    Spec `star_shaped/star.ipynb`: down2; likelihood = R - mean(R,G) >
+    0.1; labels = 1 - likelihood (starfish = 0); StarShapedNet(150);
+    Adam lr 1e-2, 10000 epochs balanced MSE; W2_r clipped every step; offset
+    becomes trainable at epoch 1000; mask = logits < 0.5 vs shipped
+    `original/mask.png` (starfish = white).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import make_fit_fn
+    from awesome_tpu.nn.priors_extra import StarShapedNet
+
+    img = load_image(os.path.join(TEASER_DIR, "star_shaped", "starfish.jpg"),
+                     down_scale)
+    h, w = img.shape[:2]
+    likelihood = (img[..., 0] - img[..., :2].mean(axis=2)) > 0.1
+    target_np = 1.0 - likelihood.astype(np.float32)  # starfish = 0
+
+    points = centered_points(h, w)
+    flat = np.asarray(points)
+    pts0 = jnp.asarray(flat[target_np.reshape(-1) < 0.5])  # starfish
+    pts1 = jnp.asarray(flat[target_np.reshape(-1) >= 0.5])
+
+    m_frozen = StarShapedNet(n_hidden=150, train_offset=False)
+    m_train = StarShapedNet(n_hidden=150, train_offset=True)
+    params = m_frozen.init(jax.random.PRNGKey(seed))
+    params, _ = minibatch_fit(
+        m_frozen, params, pts0, pts1, steps=_scaled(1000, steps_scale),
+        n_sample=500, lr=1e-2, loss="se", concat_mean=True, seed=seed,
+    )
+    fitted, hist = minibatch_fit(
+        m_train, params, pts0, pts1, steps=_scaled(9000, steps_scale),
+        n_sample=500, lr=1e-2, loss="se", concat_mean=True, seed=seed,
+        params_are_phase2=True,
+    )
+    aux = {"loss_hist": hist}
+
+    logits = np.asarray(m_train.apply(fitted, points)).reshape(h, w)
+    mask = logits < 0.5
+    ref = load_mask(os.path.join(TEASER_DIR, "star_shaped", "original",
+                                 "mask.png"), (h, w))
+    return TeaserResult("star", mask_iou(mask, ref), mask, ref,
+                        {"loss": float(aux["loss_hist"][-1]),
+                         "naive_iou": mask_iou(likelihood, ref)})
+
+
+def run_rotation_symmetric(steps_scale: float = 1.0, down_scale: float = 2,
+                           seed: int = 0) -> TeaserResult:
+    """Teaser "rotation_symmetric": mirror-symmetry net on the butterfly.
+
+    Spec `rotation_symmetric/rotation_symmetric.ipynb`: butter2 down2 +
+    0.15*randn noise; likelihood = G - 0.5(R+B) < 0.05 (butterfly = 0,
+    encoded via labels = likelihood); RotationSymmetricNet(150); Adam
+    lr 1e-3, 10000 epochs, loss = 2*MSE(bg) + MSE(fg); symmetry fold
+    enabled after epoch 500; mask = logits < 0.5 (butterfly = black) vs
+    shipped `original/mask.png`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import make_fit_fn
+    from awesome_tpu.nn.priors_extra import RotationSymmetricNet
+
+    img = load_image(os.path.join(TEASER_DIR, "rotation_symmetric",
+                                  "butter2.jpg"), down_scale)
+    h, w = img.shape[:2]
+    rng = np.random.default_rng(seed)
+    img = img + 0.15 * rng.standard_normal(img.shape).astype(np.float32)
+    likelihood = ((img[..., 1] - 0.5 * (img[..., 0] + img[..., 2])) < 0.05)
+    target_np = likelihood.astype(np.float32)  # butterfly region = 0
+
+    points = centered_points(h, w)
+    flat = np.asarray(points)
+    # "back" = likelihood<0.5 (target 0) gets coefficient 2, "fore" 1
+    pts0 = jnp.asarray(flat[target_np.reshape(-1) < 0.5])
+    pts1 = jnp.asarray(flat[target_np.reshape(-1) >= 0.5])
+
+    m_plain = RotationSymmetricNet(n_hidden=150, symmetry_prior=False)
+    m_sym = RotationSymmetricNet(n_hidden=150, symmetry_prior=True)
+    params = m_plain.init(jax.random.PRNGKey(seed))
+    params, _ = minibatch_fit(
+        m_plain, params, pts0, pts1, steps=_scaled(500, steps_scale),
+        n_sample=500, lr=1e-3, loss="se", coef0=2.0, coef1=1.0, seed=seed,
+    )
+    fitted, hist = minibatch_fit(
+        m_sym, params, pts0, pts1, steps=_scaled(9500, steps_scale),
+        n_sample=500, lr=1e-3, loss="se", coef0=2.0, coef1=1.0, seed=seed,
+        params_are_phase2=True,
+    )
+    aux = {"loss_hist": hist}
+
+    logits = np.asarray(m_sym.apply(fitted, points)).reshape(h, w)
+    mask = logits < 0.5  # background white, butterfly black
+    ref = load_mask(os.path.join(TEASER_DIR, "rotation_symmetric",
+                                 "original", "mask.png"), (h, w))
+    return TeaserResult("rotation_symmetric", mask_iou(mask, ref), mask, ref,
+                        {"loss": float(aux["loss_hist"][-1]),
+                         "naive_iou": mask_iou(~likelihood, ~ref)})
+
+
+def run_repeating(steps_scale: float = 1.0, down_scale: float = 2,
+                  seed: int = 1) -> TeaserResult:
+    """Teaser "repeating": sin-feature periodic net on the perforated board.
+
+    Spec `repeating/repeating.ipynb`: likelihood loaded from the shipped
+    `original/mask_naive.png` (cell 2: ``1 - mask/255 < 0.5`` = holes
+    white); PeriodicNet, n_hidden=200; Adam lr 1e-2, 10000 epochs,
+    2*MSE(bg)+MSE(fg); torch.manual_seed(1); scored vs shipped
+    `original/mask.png` with their sigmoid < 0.5 polarity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import make_fit_fn
+    from awesome_tpu.nn.priors_extra import PeriodicNet
+
+    naive = load_mask(os.path.join(TEASER_DIR, "repeating", "original",
+                                   "mask_naive.png"))
+    h, w = naive.shape
+    if down_scale != 1:
+        from PIL import Image
+
+        im = Image.fromarray(naive.astype(np.uint8) * 255)
+        im = im.resize((int(w / down_scale), int(h / down_scale)),
+                       Image.NEAREST)
+        naive_fit = np.asarray(im) > 127
+    else:
+        naive_fit = naive
+    fh, fw = naive_fit.shape
+    target_np = naive_fit.astype(np.float32)  # holes = 1
+
+    points = centered_points(fh, fw)
+    flat = np.asarray(points)
+    model = PeriodicNet(n_hidden=200)
+    params = model.init(jax.random.PRNGKey(seed))
+    fitted, hist = minibatch_fit(
+        model, params,
+        jnp.asarray(flat[target_np.reshape(-1) < 0.5]),
+        jnp.asarray(flat[target_np.reshape(-1) >= 0.5]),  # holes, target 1
+        steps=_scaled(10000, steps_scale), n_sample=500, lr=1e-2,
+        loss="se", coef0=2.0, coef1=1.0, seed=seed,
+    )
+    aux = {"loss_hist": hist}
+
+    # score at the shipped mask's resolution
+    pts_full = centered_points(h, w)
+    logits = np.asarray(model.apply(fitted, pts_full)).reshape(h, w)
+    prob = 1.0 / (1.0 + np.exp(-logits))
+    mask = prob >= 0.5  # holes class (shipped mask white = holes)
+    ref = load_mask(os.path.join(TEASER_DIR, "repeating", "original",
+                                 "mask.png"))
+    return TeaserResult("repeating", mask_iou(mask, ref), mask, ref,
+                        {"loss": float(aux["loss_hist"][-1]),
+                         "naive_iou": mask_iou(naive, ref)})
+
+
+def run_convex_depth(steps_scale: float = 1.0, down_scale: float = 2,
+                     seed: int = 0) -> TeaserResult:
+    """Teaser "convex-depth": convex-in-(x,y,depth) ICNN from scribbles.
+
+    Spec `convex-depth/convex.ipynb`: depth.png + depth_scribbles.png
+    down2; fg scribbles R-G>0.1, bg R-G<-0.1; points = (row, col, depth);
+    myConvexNet(50, in=3) == ConvexNextNet(50, in_features=3,
+    n_hidden_layers=1); full-batch unweighted MSE on sigmoid, bg target 0
+    / fg target 1; Adam lr 1e-2, 5000 epochs, clip after step; mask =
+    logits < 0 vs shipped `original/mask_ours.png`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import make_fit_fn
+    from awesome_tpu.nn.icnn import ConvexNextNet
+
+    depth = load_image(os.path.join(TEASER_DIR, "convex-depth", "depth.png"),
+                       down_scale)
+    if depth.ndim == 3:
+        depth = depth[..., 0]
+    scr = load_image(os.path.join(TEASER_DIR, "convex-depth",
+                                  "depth_scribbles.png"), down_scale)
+    h, w = depth.shape
+    fg = (scr[..., 0] - scr[..., 1]) > 0.1
+    bg = (scr[..., 0] - scr[..., 1]) < -0.1
+
+    pts2 = np.asarray(centered_points(h, w)).reshape(h, w, 2)
+    feat = np.concatenate([pts2, depth[..., None]], axis=-1)
+    scrib = fg | bg
+    points = jnp.asarray(feat[scrib])
+    target = jnp.asarray(fg[scrib].astype(np.float32)).reshape(-1, 1)
+
+    model = ConvexNextNet(n_hidden=50, in_features=3, n_hidden_layers=1)
+    params = model.init(jax.random.PRNGKey(seed))
+    cfg = FitConfig(num_steps=_scaled(5000, steps_scale), lr=1e-2,
+                    optimizer="adam", plateau_patience=10**6)
+    fit = make_fit_fn(model, cfg)  # default mean weighted-SE-on-sigmoid
+    fitted, aux = jax.jit(fit)(params, points, target)
+
+    logits = np.asarray(
+        model.apply(fitted, jnp.asarray(feat.reshape(-1, 3)))
+    ).reshape(h, w)
+    mask = logits < 0.0
+    ref = load_mask(os.path.join(TEASER_DIR, "convex-depth", "original",
+                                 "mask_ours.png"), (h, w))
+    naive_ref = load_mask(os.path.join(TEASER_DIR, "convex-depth",
+                                       "original", "mask_no_convexity.png"),
+                          (h, w))
+    return TeaserResult("convex_depth", mask_iou(mask, ref), mask, ref,
+                        {"loss": float(aux["loss_hist"][-1]),
+                         "naive_vs_ours_iou": mask_iou(naive_ref, ref)})
+
+
+def run_connectedness_cat(steps_scale: float = 1.0, down_scale: float = 2,
+                          seed: int = 0) -> TeaserResult:
+    """Teaser "connectedness": ConvexDiffeomorphismNet grown from scribbles.
+
+    Spec `connectedness/diffeo_convex.ipynb`: cat_scribbled down2;
+    likelihood = (R-G) > 0.7 (the red scribble strokes = 1);
+    ConvexDiffeomorphismNet defaults (convex 130/1-layer, 4-coupling
+    width-70 flow, input linear); BCE, loss = 2*BCE(bg)+BCE(fg); Adam
+    lr 1e-3, 2000 epochs; mask = logits >= 0 is the connected cat region
+    (their contour level 0.0) vs shipped `original/mask.png` (cat=white).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import make_fit_fn
+    from awesome_tpu.nn.convex_diffeo import ConvexDiffeomorphismNet
+
+    img = load_image(os.path.join(TEASER_DIR, "connectedness",
+                                  "cat_scribbled.jpg"), down_scale)
+    h, w = img.shape[:2]
+    likelihood = ((img[..., 0] - img[..., 1]) > 0.7)
+    target_np = likelihood.astype(np.float32)  # scribble = 1
+
+    points = centered_points(h, w)
+    flat = np.asarray(points)
+    model = ConvexDiffeomorphismNet()
+    params = model.init(jax.random.PRNGKey(seed))
+    fitted, hist = minibatch_fit(
+        model, params,
+        jnp.asarray(flat[target_np.reshape(-1) < 0.5]),
+        jnp.asarray(flat[target_np.reshape(-1) >= 0.5]),  # scribbles
+        steps=_scaled(2000, steps_scale), n_sample=1000, lr=1e-3,
+        loss="bce", coef0=2.0, coef1=1.0, seed=seed,
+    )
+    aux = {"loss_hist": hist}
+
+    logits = np.asarray(model.apply(fitted, points)).reshape(h, w)
+    mask = logits >= 0.0  # cat region (scribbles trained to 1)
+    ref = load_mask(os.path.join(TEASER_DIR, "connectedness", "original",
+                                 "mask.png"), (h, w))
+    return TeaserResult("connectedness_cat", mask_iou(mask, ref), mask, ref,
+                        {"loss": float(aux["loss_hist"][-1]),
+                         "scribble_frac": float(target_np.mean())})
+
+
+def run_howto_convexity(steps_scale: float = 1.0, down_scale: float = 2,
+                        seed: int = 0) -> TeaserResult:
+    """How-to convexity on the shipped tomato photo.
+
+    Spec `how_to/convexity.ipynb` cells 5-11: down2; unaries = inverted
+    minmaxed sigmoid threshold (tomato fg = 0); ConvexNextNet(130, 1
+    hidden layer); Adam lr 2e-3, 2000 epochs, SE with fg_weight 0.4;
+    mask = sigmoid < 0.5. The how-to ships no result mask, so parity is
+    scored against the teaser run's `convex/mask.png` for the same image
+    (resized to the how-to's working resolution).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.core import grids as G
+    from awesome_tpu.fit import FitConfig, fit_prior
+    from awesome_tpu.nn.icnn import ConvexNextNet
+
+    img = load_image(os.path.join(HOWTO_DIR, "cocktail-tomatoes.jpg"),
+                     down_scale)
+    h, w = img.shape[:2]
+    raw = img[..., 0] - img[..., 1] - img[..., 2] - 0.5
+    lk = 1.0 / (1.0 + np.exp(-(1.0 - raw)))
+    lk = (lk - lk.min()) / max(lk.max() - lk.min(), 1e-9)
+    unaries = (lk < 0.5).astype(np.float32)  # tomato fg = 0
+
+    model = ConvexNextNet(n_hidden=130, n_hidden_layers=1)
+    params = model.init(jax.random.PRNGKey(seed))
+    points = G.flatten_grid(G.pixel_grid((h, w)))
+    target = jnp.asarray(1.0 - unaries).reshape(-1, 1)
+    cfg = FitConfig(num_steps=_scaled(2000, steps_scale), lr=2e-3,
+                    optimizer="adam", fg_weight=0.4,
+                    plateau_patience=10**6)
+    fitted, aux = fit_prior(model, params, points, target, cfg)
+
+    prob = np.asarray(
+        jax.nn.sigmoid(model.apply(fitted, points))
+    ).reshape(h, w)
+    mask = prob < 0.5  # tomato
+    ref = load_mask(os.path.join(TEASER_DIR, "convex", "mask.png"), (h, w))
+    return TeaserResult("howto_convexity", mask_iou(mask, ref), mask, ref,
+                        {"loss": float(aux["loss_hist"][-1]),
+                         "input_iou": mask_iou(unaries < 0.5, ref)})
+
+
+def run_howto_path_connectedness(steps_scale: float = 1.0,
+                                 down_scale: float = 2,
+                                 seed: int = 0) -> TeaserResult:
+    """How-to path-connectedness on the shipped scribbled cat.
+
+    Spec `how_to/path-connectedness.ipynb`: down2; likelihood = (R-G) >
+    0.7 on the scribbled image (fg = 0 unaries); PathConnectedNet with a
+    10-flow tanh RealNVP + minmax norm, ConvexNextNet 2 hidden layers;
+    flow-identity prefit; BCEWithLogits, fg_weight 0.3, lr 2e-3, flow
+    weight decay 1e-5, 2000 epochs. Scored against the connectedness
+    teaser's shipped `original/pc_prior_mask_rescale.png` (same image,
+    same prior family).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.core import grids as G
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import learn_flow_identity, make_fit_fn
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+    img = load_image(os.path.join(HOWTO_DIR, "cat_scribbled.jpg"),
+                     down_scale)
+    h, w = img.shape[:2]
+    likelihood = ((img[..., 0] - img[..., 1]) > 0.7)
+    unaries = 1.0 - likelihood.astype(np.float32)  # scribble fg = 0
+
+    model = real_nvp_path_connected_net(
+        channels=2, flow_n_flows=10, flow_output_fn="tanh",
+        spatial_shape=(h, w), convex_net_hidden_layers=2,
+    )
+    params = model.init(jax.random.PRNGKey(seed))
+    points = G.flatten_grid(G.pixel_grid((h, w)))
+    target = jnp.asarray(unaries).reshape(-1, 1)
+    params, _ = learn_flow_identity(model, params, points, max_iter=100)
+
+    weights = None  # fg_weight handled by the engine scheme
+
+    def bce_loss(p, pts, t, engine_w):
+        logits = model.apply(p, pts)
+        bce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(
+            jnp.exp(-jnp.abs(logits))
+        )
+        return jnp.sum(engine_w * bce)
+
+    cfg = FitConfig(num_steps=_scaled(2000, steps_scale), lr=2e-3,
+                    optimizer="adam", fg_weight=0.3,
+                    flow_weight_decay=1e-5, plateau_patience=10**6)
+    fit = make_fit_fn(model, cfg, loss_fn=bce_loss)
+    fitted, aux = jax.jit(fit)(params, points, target)
+
+    prob = np.asarray(
+        jax.nn.sigmoid(model.apply(fitted, points))
+    ).reshape(h, w)
+    mask = prob < 0.5  # cat fg (fg encoded 0)
+    ref = load_mask(os.path.join(TEASER_DIR, "connectedness", "original",
+                                 "pc_prior_mask_rescale.png"), (h, w))
+    return TeaserResult("howto_path_connectedness", mask_iou(mask, ref),
+                        mask, ref,
+                        {"loss": float(aux["loss_hist"][-1])})
+
+
+def run_temporal_connectedness(steps_scale: float = 1.0,
+                               seed: int = 0) -> TeaserResult:
+    """Teaser "temporal_connectedness": one (x,y,t) prior for the ball
+    sequence.
+
+    The directory ships no notebook — only 8 frames (`test/img_0..7`),
+    per-frame naive masks and per-frame result masks. Protocol here: the
+    shipped NAIVE masks are the input likelihoods (the thresholding the
+    authors started from); fit ONE (x, y, t) path-connected prior — the
+    paper's temporal-connectedness construction, a 3-channel
+    ``real_nvp_path_connected_net`` — over the stack with the
+    spatio-temporal engine (`fit/spatiotemporal.py`), then score each
+    frame's mask against the shipped `original/mask_{i}.png`. Reported
+    IoU is the mean over frames.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit import FitConfig
+    from awesome_tpu.fit.prior_fit import learn_flow_identity
+    from awesome_tpu.fit.spatiotemporal import (
+        fit_spatiotemporal_prior,
+        sequence_points,
+    )
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+    base = os.path.join(TEASER_DIR, "temporal_connectedness")
+    naive = np.stack([
+        load_mask(os.path.join(base, "original", f"mask_{i}_naive.png"))
+        for i in range(8)
+    ])  # (T, H, W), ball = True
+    refs = np.stack([
+        load_mask(os.path.join(base, "original", f"mask_{i}.png"))
+        for i in range(8)
+    ])
+    t_frames, h, w = naive.shape
+
+    pts = sequence_points((h, w), t_frames)  # (T, H*W, 3)
+    targets = jnp.asarray(
+        1.0 - naive.reshape(t_frames, h * w, 1).astype(np.float32)
+    )  # ball fg = 0
+    labeled = jnp.ones((t_frames, h * w), bool)
+
+    model = real_nvp_path_connected_net(
+        channels=3, flow_n_flows=12, flow_output_fn="tanh",
+        spatial_shape=(h, w),
+    )
+    params = model.init(jax.random.PRNGKey(seed))
+    params, _ = learn_flow_identity(
+        model, params, pts.reshape(-1, 3), max_iter=100)
+    cfg = FitConfig(num_steps=_scaled(2000, steps_scale), lr=1e-3,
+                    optimizer="adamax", weight_mode="equal",
+                    plateau_patience=10**6)
+    fitted, aux = fit_spatiotemporal_prior(
+        model, params, pts, targets, labeled, cfg)
+
+    masks = []
+    per_frame = []
+    for i in range(t_frames):
+        prob = np.asarray(
+            jax.nn.sigmoid(model.apply(fitted, pts[i]))
+        ).reshape(h, w)
+        m = prob < 0.5  # ball
+        masks.append(m)
+        per_frame.append(mask_iou(m, refs[i]))
+    naive_iou = float(np.mean([mask_iou(naive[i], refs[i])
+                               for i in range(t_frames)]))
+    return TeaserResult(
+        "temporal_connectedness", float(np.mean(per_frame)),
+        np.stack(masks), refs,
+        {"per_frame_iou": [round(v, 4) for v in per_frame],
+         "naive_iou": naive_iou,
+         "loss": float(np.asarray(aux["epoch_loss"])[-1])})
+
+
+TEASERS: Dict[str, Callable[..., TeaserResult]] = {
+    "convex_tomato": run_convex_tomato,
+    "star": run_star,
+    "rotation_symmetric": run_rotation_symmetric,
+    "repeating": run_repeating,
+    "convex_depth": run_convex_depth,
+    "connectedness_cat": run_connectedness_cat,
+    "howto_convexity": run_howto_convexity,
+    "howto_path_connectedness": run_howto_path_connectedness,
+    "temporal_connectedness": run_temporal_connectedness,
+}
+
+
+def run_all(steps_scale: float = 1.0, names=None, **kw) -> Dict[str, TeaserResult]:
+    out = {}
+    for name in (names or TEASERS):
+        out[name] = TEASERS[name](steps_scale=steps_scale, **kw)
+    return out

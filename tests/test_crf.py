@@ -95,3 +95,22 @@ def test_dense_crf_batched_matches_per_image():
         solo = dense_crf(s.image, unaries[i], options=opts)
         np.testing.assert_allclose(batched[i], solo, atol=2e-3)
         assert ((batched[i] > 0.5) == (solo > 0.5)).all()
+
+
+def test_per_image_crf_reuses_one_program_per_bucket():
+    """Round-3 weakness: per-image color normalization was a STATIC
+    compile constant, so a loop over images recompiled every call
+    (32.6 s / 8 images). dense_crf now feeds the normalization through a
+    traced sigma: same-sized images must share ONE compiled program."""
+    from awesome_tpu.ops import crf as C
+
+    rng = np.random.default_rng(0)
+    opts = CRFOptions(max_iterations=2, color_bins=4)
+    before = C._mean_field_batched._cache_size()
+    for i in range(4):
+        img = rng.uniform(0, 1, (24, 20, 3)).astype(np.float32)
+        una = rng.uniform(0.1, 0.9, (24, 20, 1)).astype(np.float32)
+        out = dense_crf(img, una, options=opts)
+        assert out.shape == (24, 20, 1)
+    added = C._mean_field_batched._cache_size() - before
+    assert added == 1, f"expected 1 compile for 4 same-size images, got {added}"

@@ -55,6 +55,62 @@ def test_import_every_reference_config_parses():
     assert not failures, failures[:5]
 
 
+def test_import_consumes_every_reference_field():
+    """Completeness gate: NO reference field may silently land in
+    ``extra``. Every key either maps to a live AwesomeConfig slot or the
+    import fails this test — the enforcement of reference_import.py's
+    "lossy-by-listing" promise. Nested agent_args must be fully lifted
+    (any residual would mean an agent option we'd ignore)."""
+    paths = glob.glob(os.path.join(REF, "**/*.yaml"), recursive=True)
+    assert len(paths) > 200  # the reference ships 207 experiment YAMLs
+    leftovers = {}
+    residual_agent_args = {}
+    for p in paths:
+        cfg, extra = load_reference_config(p)
+        if extra:
+            leftovers[os.path.relpath(p, REF)] = sorted(extra)
+        if cfg.agent_args:
+            residual_agent_args[os.path.relpath(p, REF)] = sorted(
+                cfg.agent_args
+            )
+    assert not leftovers, (
+        f"{len(leftovers)} configs have unconsumed fields; "
+        f"first: {next(iter(leftovers.items()))}"
+    )
+    assert not residual_agent_args, (
+        f"unlifted agent_args keys: {next(iter(residual_agent_args.items()))}"
+    )
+
+
+def test_consumed_fields_are_live():
+    """The round-3 'extra' keys now drive real machinery, not just slots:
+    WN weight decay reaches the optimizer tree, gets_targets reaches the
+    wrapper, the module type is parsed, out channels follow
+    use_binary_classification."""
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit.optim import wn_param_groups
+    from awesome_tpu.fit.pixel_trainer import PixelTrainConfig
+    from awesome_tpu.nn.wrapper import WrapperModule
+    from awesome_tpu.runner.config import AwesomeConfig
+
+    # config fields exist with reference defaults
+    cfg = AwesomeConfig()
+    assert cfg.use_binary_classification is True
+    assert cfg.weight_decay_on_weight_norm_modules == 5e-5
+    assert cfg.combined_segmentation_module_type.endswith("WrapperModule")
+
+    # the WN decay tree targets exactly the magnitude leaves
+    params = {"flow": {"g": jnp.ones(3), "v": jnp.ones((3, 3))}}
+    tree = wn_param_groups(params, 5e-5)
+    assert tree["flow"]["g"] == 5e-5 and tree["flow"]["v"] == 0.0
+    assert PixelTrainConfig(wn_weight_decay=5e-5).wn_weight_decay == 5e-5
+
+    # wrapper accepts the gets_targets switch
+    assert hasattr(WrapperModule(segmentation_module=None),
+                   "segmentation_module_gets_targets")
+
+
 def test_agent_args_pretrain_fields_lifted():
     """The joint YAML nests pretrain orchestration in agent_args; the
     importer lifts the schema-known keys so do_pretraining /
