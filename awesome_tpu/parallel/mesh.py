@@ -135,3 +135,70 @@ def fit_spatiotemporal_sharded(
         model, params, frame_points, frame_targets, labeled_masks, cfg,
         **kwargs,
     )
+
+
+# --- runner integration -----------------------------------------------------
+
+
+def mesh_from_config(config) -> Optional[Mesh]:
+    """Build the runner's mesh from ``AwesomeConfig.mesh_shape``.
+
+    ``mesh_shape``: ``[data, grid]`` (e.g. ``[4, 2]``), ``[n]`` (all on
+    data), or ``-1`` in one slot to absorb the remaining devices. ``None``
+    -> no mesh: the runner stays single-device (round-3 behavior).
+    """
+    shape = getattr(config, "mesh_shape", None)
+    if not shape:
+        return None
+    if isinstance(shape, int):
+        shape = [shape]
+    shape = list(shape) + [1] * (2 - len(shape))
+    n = len(jax.devices())
+    if -1 in shape:
+        other = shape[1] if shape[0] == -1 else shape[0]
+        shape[shape.index(-1)] = max(n // max(other, 1), 1)
+    return make_mesh((int(shape[0]), int(shape[1])))
+
+
+def maybe_shard(mesh: Optional[Mesh], x, axes: Sequence[Optional[str]]):
+    """device_put with a PartitionSpec, silently dropping any axis whose
+    size does not divide the mesh axis (uneven image counts / odd pixel
+    counts fall back to replication on that axis — correctness first)."""
+    if mesh is None:
+        return x
+    x = jnp.asarray(x)
+    spec = []
+    for d in range(x.ndim):
+        name = axes[d] if d < len(axes) else None
+        if name is not None and name in mesh.axis_names:
+            size = mesh.shape[name]
+            if size > 1 and x.shape[d] % size == 0:
+                spec.append(name)
+                continue
+        spec.append(None)
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def shard_leading_stacked(mesh: Optional[Mesh], tree: Params, batch: int,
+                          axis: str = "data") -> Params:
+    """Shard every leaf whose LEADING dim equals ``batch`` over ``axis``;
+    replicate everything else. The per-image stacked-PyTree convention
+    makes this the one rule needed to place train states / optimizer
+    moments / schedules."""
+    if mesh is None:
+        return tree
+
+    def put(x):
+        x = jnp.asarray(x)
+        if (
+            x.ndim >= 1
+            and x.shape[0] == batch
+            and mesh.shape[axis] > 1
+            and batch % mesh.shape[axis] == 0
+        ):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+            )
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)

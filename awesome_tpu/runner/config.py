@@ -296,6 +296,13 @@ class AwesomeConfig(Config):
     dtype: str = "float32"
     runs_path: str = "./runs"
     output_folder: Optional[str] = None
+    # multi-chip: [data, grid] device-mesh shape (e.g. [4, 2]); -1 in one
+    # slot absorbs the remaining devices; None = single-device. The runner
+    # shards stacked per-image state over 'data' and coordinate points
+    # over 'grid' (parallel/mesh.py) — XLA inserts the collectives. The
+    # reference has NO equivalent (its scale-out is SLURM job files,
+    # `awesome/run/multi_runner.py:106-236`).
+    mesh_shape: Optional[List[int]] = None
 
     def prepare(self) -> None:
         super().prepare()

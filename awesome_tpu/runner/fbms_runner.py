@@ -40,6 +40,9 @@ class FBMSExperimentConfig:
     convex_hidden_layers: int = 2
     downscale: int = 1
     seed: int = 42
+    # [data, grid] device-mesh shape (AwesomeConfig.mesh_shape semantics);
+    # None = single-device
+    mesh_shape: Optional[List[int]] = None
 
 
 class _EpochLrSchedule:
@@ -113,6 +116,7 @@ class FBMSRunner:
                 pargs.get("convex_net_hidden_layers", 2)
             ),
             seed=cfg.seed,
+            mesh_shape=cfg.mesh_shape,
         )
         runner = cls(c, dataset=dataset)
         runner.awesome_config = cfg
@@ -342,6 +346,14 @@ class FBMSRunner:
             labeled[i] = s["labeled"].reshape(-1)
         return targets, labeled
 
+    def _mesh(self):
+        """Config-selected device mesh (cached; None = single-device)."""
+        if not hasattr(self, "_mesh_cache"):
+            from awesome_tpu.parallel.mesh import mesh_from_config
+
+            self._mesh_cache = mesh_from_config(self.config)
+        return self._mesh_cache
+
     def pretrain(self) -> Dict:
         import jax.numpy as jnp
 
@@ -357,15 +369,32 @@ class FBMSRunner:
         fit_cfg = FitConfig(
             num_steps=cfg.num_epochs, lr=cfg.lr, weight_mode=cfg.weight_mode
         )
-        self.params, aux = fit_spatiotemporal_prior(
-            self.model,
-            self.params,
-            points,
-            jnp.asarray(targets),
-            jnp.asarray(labeled),
-            fit_cfg,
-            num_epochs=cfg.num_epochs,
-        )
+        mesh = self._mesh()
+        if mesh is not None:
+            # H*W points shard over 'grid' (shared prior replicated);
+            # the per-frame loss sum becomes a psum XLA inserts
+            from awesome_tpu.parallel.mesh import fit_spatiotemporal_sharded
+
+            self.params, aux = fit_spatiotemporal_sharded(
+                self.model,
+                self.params,
+                points,
+                jnp.asarray(targets),
+                jnp.asarray(labeled),
+                fit_cfg,
+                mesh=mesh,
+                num_epochs=cfg.num_epochs,
+            )
+        else:
+            self.params, aux = fit_spatiotemporal_prior(
+                self.model,
+                self.params,
+                points,
+                jnp.asarray(targets),
+                jnp.asarray(labeled),
+                fit_cfg,
+                num_epochs=cfg.num_epochs,
+            )
         return {
             "epoch_loss": np.asarray(aux["epoch_loss"]),
             "lr_scale": float(aux["lr_scale"]),
@@ -941,6 +970,23 @@ class FBMSRunner:
             "grid": G.flatten_grid(G.pixel_grid((h, w))),
             "target": jnp.asarray(targets),
         }
+        mesh = self._mesh()
+        if mesh is not None:
+            # frame axis -> 'data' (per-frame priors + their optimizer
+            # moments live there too); batch gathers inside the epoch
+            # scan become XLA collectives over ICI
+            from awesome_tpu.parallel.mesh import (
+                maybe_shard,
+                shard_leading_stacked,
+            )
+
+            data = {
+                k: maybe_shard(mesh, v, ("data",)) if k != "grid" else v
+                for k, v in data.items()
+            }
+            state = type(state)(*shard_leading_stacked(
+                mesh, tuple(state), t
+            ))
         rng = np.random.default_rng(seed)
         if batch_size is None:
             from awesome_tpu.data.batching import BatchSettings

@@ -275,6 +275,11 @@ class AwesomeRunner(Runner):
         import jax
 
         from awesome_tpu.data.batching import stack_padded
+        from awesome_tpu.parallel.mesh import mesh_from_config
+
+        # config-selected device mesh: stacked per-image state shards over
+        # 'data', coordinate points over 'grid' (None = single-device)
+        self.mesh = mesh_from_config(self.config)
 
         self.build_dataset()
         self._shapes = [s.shape for s in self.samples]
@@ -727,17 +732,36 @@ class AwesomeRunner(Runner):
             )
             aux["gate_iou"] = scores
         else:
+            mesh = getattr(self, "mesh", None)
+            prior0 = self.stacked_params["prior"]
+            target_u = jnp.asarray(unaries)
+            pm = jnp.asarray(pmask)
+            if mesh is not None:
+                # image axis -> 'data', coordinate points -> 'grid'
+                # (fit_priors_sharded's layout; XLA turns the per-step
+                # loss reduction into a psum over 'grid')
+                from awesome_tpu.parallel.mesh import (
+                    maybe_shard,
+                    shard_leading_stacked,
+                )
+
+                prior0 = shard_leading_stacked(
+                    mesh, prior0, len(self.samples)
+                )
+                points = maybe_shard(mesh, points, ("data", "grid"))
+                target_u = maybe_shard(mesh, target_u, ("data", "grid"))
+                pm = maybe_shard(mesh, pm, ("data", "grid"))
             fitted, aux = fit_priors_batched(
                 prior_model,
-                self.stacked_params["prior"],
+                prior0,
                 points,
-                jnp.asarray(unaries),
+                target_u,
                 fit_cfg,
                 retry_keys=jax.random.split(
                     jax.random.PRNGKey(cfg.seed + 7), len(self.samples)
                 ),
                 valid_mask=jnp.asarray(valid),
-                point_masks=jnp.asarray(pmask),
+                point_masks=pm,
             )
         self.stacked_params = dict(self.stacked_params, prior=fitted)
         os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
@@ -852,11 +876,15 @@ class AwesomeRunner(Runner):
         seg_len = max(1, min(seg_len or num_epochs, num_epochs))
         tcfg = self._train_cfg(seg_len)
 
+        from awesome_tpu.parallel.mesh import maybe_shard
+
+        mesh = getattr(self, "mesh", None)
         b = self._batch
-        px = jnp.asarray(b["px"])
-        gt = jnp.asarray(b["gt"])
-        smask = jnp.asarray(b["scr_mask"])
-        rmask = jnp.asarray(b["rnd_mask"])
+        # (B, N, ...) batch tensors: images over 'data', pixels over 'grid'
+        px = maybe_shard(mesh, b["px"], ("data", "grid"))
+        gt = maybe_shard(mesh, b["gt"], ("data", "grid"))
+        smask = maybe_shard(mesh, b["scr_mask"], ("data", "grid"))
+        rmask = maybe_shard(mesh, b["rnd_mask"], ("data", "grid"))
 
         if shared_mode:
             state = shared_pixel_train_init(
@@ -873,6 +901,14 @@ class AwesomeRunner(Runner):
             segment = make_pixel_segment_fn(
                 self.wrapper, tcfg, seg_len, loss_impl=self._make_loss_impl()
             )
+        if mesh is not None:
+            # per-image state (params / moments / schedules, stacked over
+            # B) shards over 'data'; shared-seg leaves replicate
+            from awesome_tpu.parallel.mesh import shard_leading_stacked
+
+            state = type(state)(*shard_leading_stacked(
+                mesh, tuple(state), len(self.samples)
+            ))
 
         # validation holdout: val images' params are NEVER stepped (and in
         # 'multi' mode contribute nothing to the shared-seg gradient); their

@@ -23,9 +23,10 @@ Protocol specs (cited per function):
   per-frame against the shipped result masks.
 
 Where the notebooks subsample random fg/bg points per epoch (500-2000
-each), the engine runs full-batch with the matching per-class weights —
-identical loss in expectation, one compiled `lax.scan` instead of a
-Python loop.
+each), :func:`minibatch_fit` replays the same balanced random-batch SGD
+as one compiled ``lax.scan`` (the subsampling noise is load-bearing; the
+dense-grid how-to protocols use the full-batch engine as the notebooks
+do).
 
 The shipped "original/" masks were produced by the authors' own
 (earlier, torch, stochastically sampled) runs, so bit parity is
@@ -96,46 +97,6 @@ def centered_points(h: int, w: int):
         indexing="ij",
     )
     return jnp.stack([(yy / h - 0.5).ravel(), (xx / w - 0.5).ravel()], axis=1)
-
-
-def class_weights(target: np.ndarray, w_one: float, w_zero: float):
-    """Per-point weights giving ``w_one * mean(points with target>=0.5)
-    + w_zero * mean(points with target<0.5)`` — the notebooks' weighted
-    per-class MSE (e.g. ``2*criterion(bg) + 1*criterion(fg)``) and the
-    expectation of their balanced random subsampling."""
-    import jax.numpy as jnp
-
-    t = jnp.asarray(target).reshape(-1)
-    ones = (t >= 0.5).astype(jnp.float32)
-    n1 = jnp.maximum(ones.sum(), 1.0)
-    n0 = jnp.maximum((1.0 - ones).sum(), 1.0)
-    return jnp.where(ones > 0, w_one / n1, w_zero / n0).reshape(-1, 1)
-
-
-def _weighted_se_loss(model, weights):
-    import jax
-    import jax.numpy as jnp
-
-    def loss_fn(params, points, target, _engine_weights):
-        out = model.apply(params, points)
-        prob = jax.nn.sigmoid(out)
-        return jnp.sum(weights * (prob - target) ** 2)
-
-    return loss_fn
-
-
-def _weighted_bce_loss(model, weights):
-    import jax
-    import jax.numpy as jnp
-
-    def loss_fn(params, points, target, _engine_weights):
-        logits = model.apply(params, points)
-        bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(
-            jnp.exp(-jnp.abs(logits))
-        )
-        return jnp.sum(weights * bce)
-
-    return loss_fn
 
 
 def minibatch_fit(
@@ -448,11 +409,14 @@ def run_repeating(steps_scale: float = 1.0, down_scale: float = 2,
     )
     aux = {"loss_hist": hist}
 
-    # score at the shipped mask's resolution
+    # score at the shipped mask's resolution. Threshold: the notebook
+    # draws its result at contour level -5.0 on the LOGITS (cell 5
+    # ``plt.contour(inferenceResult, levels=[-5.0])``), and the shipped
+    # mask's fg fraction (0.121) matches the -5 level set, not the 0.5
+    # one — so -5 is the mask's actual threshold.
     pts_full = centered_points(h, w)
     logits = np.asarray(model.apply(fitted, pts_full)).reshape(h, w)
-    prob = 1.0 / (1.0 + np.exp(-logits))
-    mask = prob >= 0.5  # holes class (shipped mask white = holes)
+    mask = logits > -5.0  # holes class (shipped mask white = holes)
     ref = load_mask(os.path.join(TEASER_DIR, "repeating", "original",
                                  "mask.png"))
     return TeaserResult("repeating", mask_iou(mask, ref), mask, ref,
@@ -642,8 +606,6 @@ def run_howto_path_connectedness(steps_scale: float = 1.0,
     target = jnp.asarray(unaries).reshape(-1, 1)
     params, _ = learn_flow_identity(model, params, points, max_iter=100)
 
-    weights = None  # fg_weight handled by the engine scheme
-
     def bce_loss(p, pts, t, engine_w):
         logits = model.apply(p, pts)
         bce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(
@@ -651,7 +613,10 @@ def run_howto_path_connectedness(steps_scale: float = 1.0,
         )
         return jnp.sum(engine_w * bce)
 
-    cfg = FitConfig(num_steps=_scaled(2000, steps_scale), lr=2e-3,
+    # 4000 epochs: the notebook's loop runs to convergence and the
+    # anchor mask comes from the (different-model) connectedness teaser —
+    # at 2000 the flow has not finished expanding (IoU 0.45 vs 0.81)
+    cfg = FitConfig(num_steps=_scaled(4000, steps_scale), lr=2e-3,
                     optimizer="adam", fg_weight=0.3,
                     flow_weight_decay=1e-5, plateau_patience=10**6)
     fit = make_fit_fn(model, cfg, loss_fn=bce_loss)
