@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Standing paper-table regression: the evaluation-notebook variant grid
+on the synthetic convexity benchmark.
+
+Reproduces the STRUCTURE of the reference's result tables
+(`notebooks/evaluation.ipynb` cells 13/16: rows = segmentation model x
+xytype x +/-prior, columns = last- and best-epoch metric selections) on
+the synthetic convexity dataset (the real convexity-51 images need
+downloads; zero-egress environment — BASELINE.md real-data anchors:
+seg 0.906 / prior 0.908).
+
+Grid: {Net, FCNet, CNNNet} x {xy, feat, featxy} x {prior, no-prior},
+expanded through GridSearchRunner (the same machinery as the reference's
+`awesome/run/grid_search_runner.py`), each cell trained + evaluated
+through the full runner, then merged into ONE ResultComparison markdown
+table (last + best epoch) written to --out. Per-cell floors are asserted
+so this is a standing regression, not just a report.
+
+Defaults are sized for a quick chip run (~12 images, 64x64, 800 epochs);
+--n 51 --hw 96 --epochs 3000 reproduces the full-scale protocol of
+PARITY.md round-3.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=12)
+    p.add_argument("--hw", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=800)
+    p.add_argument("--out", default="runs/paper_table")
+    p.add_argument("--floor", type=float, default=0.5,
+                   help="per-cell segmentation MIOU floor")
+    p.add_argument("--prior-floor", type=float, default=0.5,
+                   help="prior-output MIOU floor (prior cells)")
+    p.add_argument("--prior-floor-feat", type=float, default=0.2,
+                   help="prior floor for 'feat' cells: the prior fits in "
+                        "SSS feature space there, and without the TF1 "
+                        "embeddings (zero egress) the PCA proxy is weaker "
+                        "- the reference's own feat rows are its largest "
+                        "prior delta (notebooks/evaluation.ipynb)")
+    p.add_argument("--models", nargs="*",
+                   default=["net", "fcnet", "cnnnet"])
+    p.add_argument("--xytypes", nargs="*", default=["xy", "feat", "featxy"])
+    args = p.parse_args()
+
+    from awesome_tpu.analytics.result_model import (
+        ResultComparison,
+        ResultModel,
+    )
+    from awesome_tpu.runner.config import AwesomeConfig
+    from awesome_tpu.runner.runner import AwesomeRunner
+
+    model_types = {
+        "net": None,  # runner default Net (y,x,r,g,b pointwise MLP)
+        "fcnet": "awesome_tpu.nn.seg.FCNet",
+        "cnnnet": "awesome_tpu.nn.seg.CNNNet",
+    }
+
+    os.makedirs(args.out, exist_ok=True)
+    run_dirs, failures = [], []
+    cells = []
+    for m in args.models:
+        for xyt in args.xytypes:
+            for use_prior in (True, False):
+                cells.append((m, xyt, use_prior))
+    for m, xyt, use_prior in cells:
+        name = f"{m}+{xyt}+{'prior' if use_prior else 'noprior'}"
+        dataset_args = {"n": args.n, "h": args.hw, "w": args.hw,
+                        "xytype": xyt}
+        # reference FCNET/CNNET benchmark widths
+        # (`config/convexity/sequential/FCNET_benchmark+*.yaml`)
+        seg_args = (
+            {"width": 130, "depth": 2} if m == "fcnet" else {}
+        )
+        if m == "cnnnet":
+            # conv net -> image mode ('3d'), like the reference's CNNET
+            # benchmark configs (`config/convexity/sequential/CNNET_*`)
+            dataset_args["dimension"] = "3d"
+        cfg = AwesomeConfig(
+            name_experiment=name,
+            dataset_args=dataset_args,
+            segmentation_model_type=model_types[m],
+            segmentation_model_args=seg_args,
+            prior_model_args={"n_hidden": 64, "n_hidden_layers": 1},
+            use_prior_model=use_prior,
+            optimizer_type="adam",
+            optimizer_args={"lr": 0.02 if m != "cnnnet" else 1e-3},
+            num_epochs=args.epochs,
+            use_extra_penalty_hook=(m != "cnnnet"),
+            extra_penalty_after_n_epochs=max(args.epochs - 200, 50),
+            compute_metrics_during_training_nth_epoch=None,
+            validation_each_nth_epoch=max(args.epochs // 4, 1),
+            runs_path=args.out,
+            seed=7,
+        )
+        try:
+            r = AwesomeRunner(cfg)
+            r.build()
+            r.train()
+            metrics = r.evaluate()
+            out_dir = r.save_results()
+            run_dirs.append(out_dir)
+            miou = metrics.get("MeanForegroundBinaryMIOU", 0.0)
+            print(f"{name}: MIOU {miou:.3f}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, repr(e)))
+            print(f"{name}: FAILED {e!r}", flush=True)
+
+    results = [ResultModel.from_path(d) for d in run_dirs]
+    table_path = os.path.join(args.out, "paper_table.md")
+    floors_report = {}
+    with open(table_path, "w") as f:
+        f.write("# Evaluation-grid table (synthetic convexity benchmark)\n"
+                f"\nn={args.n} images {args.hw}x{args.hw}, "
+                f"{args.epochs} epochs. Structure: "
+                "notebooks/evaluation.ipynb cells 13/16.\n\n")
+        for selection in ("last", "best"):
+            f.write(f"## {selection}-epoch selection\n\n")
+            t = ResultComparison(results).table(
+                metric_names=["MeanForegroundBinaryMIOU",
+                              "PriorMeanForegroundBinaryMIOU",
+                              "MeanPixelAccuracy"],
+                selection=selection,
+            )
+            f.write(t.to_markdown(index=False))
+            f.write("\n\n")
+    for r in results:
+        m = r.metrics("eval", selection="best", maximize=True)
+        floors_report[r.name] = {
+            "seg": m.get("MeanForegroundBinaryMIOU"),
+            "prior": m.get("PriorMeanForegroundBinaryMIOU"),
+        }
+    with open(os.path.join(args.out, "floors.json"), "w") as f:
+        json.dump({"cells": floors_report, "failures": failures}, f,
+                  indent=2)
+    print("wrote", table_path)
+
+    bad = []
+    for n, v in floors_report.items():
+        if v["seg"] is None or v["seg"] < args.floor:
+            bad.append((n, "seg", v["seg"]))
+        if "+prior" in n:
+            pf = (args.prior_floor_feat if "+feat+" in n
+                  else args.prior_floor)
+            if v["prior"] is None or v["prior"] < pf:
+                bad.append((n, "prior", v["prior"]))
+    if failures or bad:
+        raise SystemExit(f"paper-table regression: failures={failures} "
+                         f"below-floor={bad}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Standing paper-table regression (reduced grid, CPU).
+
+scripts/run_paper_table.py reproduces the reference evaluation-notebook
+table structure (`notebooks/evaluation.ipynb` cells 13/16) on the
+synthetic convexity benchmark and asserts per-cell floors.
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_paper_table_subgrid(tmp_path):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    out = tmp_path / "ptab"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_paper_table.py"),
+         "--n", "3", "--hw", "24", "--epochs", "60", "--out", str(out),
+         "--models", "net", "--xytypes", "xy",
+         "--floor", "0.5", "--prior-floor", "0.2"],
+        env=env, capture_output=True, text=True, timeout=800,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    table = open(out / "paper_table.md").read()
+    assert "last-epoch selection" in table
+    assert "best-epoch selection" in table
+    assert "net+xy+prior" in table and "net+xy+noprior" in table
+    assert "PriorMeanForegroundBinaryMIOU" in table
+
+    floors = json.load(open(out / "floors.json"))
+    assert not floors["failures"]
+    cells = floors["cells"]
+    prior_cell = next(v for k, v in cells.items() if "+prior" in k)
+    assert prior_cell["seg"] >= 0.5 and prior_cell["prior"] >= 0.2

@@ -1,0 +1,90 @@
+"""Real-image parity harness (reduced-step CPU variant).
+
+Each test replays a shipped reference protocol on the reference's own
+in-tree image and asserts an IoU floor against the reference's own
+shipped result mask (`awesome_tpu/runner/teaser.py`; full-step TPU runs:
+`scripts/run_teasers.py` -> runs/teasers/results.json, PARITY.md).
+
+Floors are calibrated from CPU runs at these exact reduced step scales
+minus a safety margin; the full-step TPU numbers are 0.69-0.99
+(PARITY.md round-4 table).
+"""
+import os
+
+import pytest
+
+from awesome_tpu.runner import teaser as T
+
+pytestmark = pytest.mark.skipif(
+    not T.reference_data_available(),
+    reason="reference shipped images not mounted",
+)
+
+
+def _run(name, floor, **kw):
+    r = T.TEASERS[name](**kw)
+    assert r.iou >= floor, (
+        f"{name}: IoU {r.iou:.3f} vs shipped reference mask "
+        f"(floor {floor}); extra={r.extra}"
+    )
+    return r
+
+
+def test_convex_tomato_vs_shipped_mask():
+    r = _run("convex_tomato", 0.85, steps_scale=0.3)
+    # the convexity prior must beat the raw thresholding it was fed
+    assert r.iou > r.extra["naive_iou"] + 0.1
+
+
+def test_star_shaped_vs_shipped_mask():
+    r = _run("star", 0.78, steps_scale=0.15)
+    assert r.iou > r.extra["naive_iou"]
+
+
+def test_rotation_symmetric_vs_shipped_mask():
+    _run("rotation_symmetric", 0.9, steps_scale=0.1)
+
+
+def test_repeating_vs_shipped_mask():
+    # dot-lattice IoU is harsh at reduced steps; the full-step TPU run
+    # reaches 0.69 at the notebook's own -5 contour level (PARITY.md)
+    _run("repeating", 0.15, steps_scale=0.15)
+
+
+def test_convex_depth_vs_shipped_mask():
+    r = _run("convex_depth", 0.9, steps_scale=0.05)
+    # convexity is the point: the shipped naive (no-convexity) mask only
+    # agrees 0.38 with the shipped convex result
+    assert r.extra["naive_vs_ours_iou"] < 0.5
+
+
+def test_connectedness_cat_vs_shipped_mask():
+    _run("connectedness_cat", 0.3, steps_scale=0.15)
+
+
+def test_howto_convexity_on_shipped_tomato():
+    _run("howto_convexity", 0.8, steps_scale=0.15, down_scale=4)
+
+
+def test_howto_path_connectedness_on_shipped_cat():
+    _run("howto_path_connectedness", 0.6, steps_scale=0.1, down_scale=4)
+
+
+def test_temporal_connectedness_vs_shipped_frame_masks():
+    r = _run("temporal_connectedness", 0.35, steps_scale=0.03)
+    assert len(r.extra["per_frame_iou"]) == 8
+
+
+def test_teaser_masks_polarity_and_shapes():
+    """Cheap structural checks shared by every protocol: shipped masks
+    load, reference data paths resolve, and mask_iou is symmetric."""
+    import numpy as np
+
+    m = T.load_mask(os.path.join(
+        T.TEASER_DIR, "star_shaped", "original", "mask.png"))
+    assert m.dtype == bool and 0.0 < m.mean() < 0.5
+    a = np.zeros((4, 4), bool)
+    a[:2] = True
+    b = np.zeros((4, 4), bool)
+    b[1:3] = True
+    assert T.mask_iou(a, b) == T.mask_iou(b, a) == pytest.approx(1 / 3)
