@@ -158,6 +158,18 @@ def main():
     fullres_rate = steps * fpoints.shape[0] / frdt
     flops_pp = _matmul_flops_per_point_step(frparams)
 
+    # real-image anchor: the convex-depth teaser protocol on the
+    # reference's own shipped data, scored against its shipped result
+    # mask (runner/teaser.py; full 9-protocol sweep: scripts/run_teasers.py)
+    realimage_iou = None
+    try:
+        from awesome_tpu.runner import teaser as teaser_mod
+
+        if teaser_mod.reference_data_available():
+            realimage_iou = round(teaser_mod.run_convex_depth().iou, 4)
+    except Exception:  # noqa: BLE001 — bench must still print its line
+        realimage_iou = None
+
     measured, mdata = _measured_baseline()
     result = {
         "metric": "coord-point-steps/s/chip (batched prior fit)",
@@ -180,6 +192,10 @@ def main():
         ),
         "mfu_flops_per_point_step": int(flops_pp),
     }
+    if realimage_iou is not None:
+        # IoU vs the reference's own shipped result mask on its own
+        # shipped image (convex-depth teaser; full table in PARITY.md)
+        result["realimage_convex_depth_iou_vs_shipped_mask"] = realimage_iou
     if measured:
         result["vs_baseline"] = round(value / measured, 1)
         result["baseline_source"] = (

@@ -33,7 +33,13 @@ def main():
         return
 
     os.makedirs(args.out, exist_ok=True)
+    # merge into prior results so partial (--names) runs don't drop the
+    # other protocols' recorded numbers
+    results_path = os.path.join(args.out, "results.json")
     results = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
     for name in (args.names or T.TEASERS):
         t0 = time.time()
         try:

@@ -155,3 +155,86 @@ def test_weight_decay_sweep_changes_flow_norm(tmp_path):
             for x in jax.tree_util.tree_leaves(flow)
         ]))
     assert fitted[1.0] < fitted[1e-5]
+
+
+def test_spatio_temporal_family_yaml_end_to_end(tmp_path):
+    """path-connectedness/spatio-temporal: ONE shared (x, y, t) prior for
+    the whole sequence (channels=3, spatio_temporal dataset flag),
+    pretrain_only — routed to FBMSRunner.pretrain's spatio-temporal
+    engine. Spec: `config/path-connectedness/spatio-temporal/
+    UNET+cars3+edge+diffeo+spatio-temporal+realnvp.yaml`."""
+    cfg, extra = load_reference_config(os.path.join(
+        REF, "spatio-temporal/UNET+cars3+edge+diffeo+spatio-temporal"
+             "+realnvp.yaml"))
+    assert extra == {}
+    assert cfg.pretrain_only is True and cfg.num_epochs == 0
+    assert (cfg.dataset_args or {}).get("spatio_temporal") is True
+    assert cfg.prior_model_args.get("channels") == 3
+    assert cfg.pretrain_args["prefit_flow_net_identity"]
+
+    seq = _write_sequence(tmp_path)
+    cfg.prior_model_args.update(SMALL_PRIOR)
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    assert runner.config.flip_probability == 0.0
+    runner.config.num_epochs = 30  # cost knob only
+    runner.build()
+    res = runner.pretrain()
+    losses = np.asarray(res["epoch_loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    metrics = runner.evaluate()
+    assert 0.0 <= metrics["MeanForegroundBinaryMIOU"] <= 1.0
+
+
+@pytest.mark.parametrize("yaml_name,expected_flip", [
+    ("UNET+cars3+edge+diffeo+only_prior+realnvp+spatio-temporal+noisy"
+     "+seed131+np0.yaml", 0.0),
+    ("UNET+cars3+edge+diffeo+only_prior+realnvp+spatio-temporal+noisy"
+     "+seed47+np0_4.yaml", 0.4),
+])
+def test_noisy_spatio_temporal_family_yaml(tmp_path, yaml_name,
+                                           expected_flip):
+    """path-connectedness/noisy-spatio-temporal: the label-noise
+    robustness experiment — noisy_percentage flips weak labels before the
+    shared (x, y, t) fit. The BASELINE.md noise-curve family."""
+    cfg, extra = load_reference_config(os.path.join(
+        REF, "noisy-spatio-temporal", yaml_name))
+    assert extra == {}
+    assert cfg.pretrain_only is True
+    assert float(cfg.pretrain_args["noisy_percentage"]) == expected_flip
+
+    seq = _write_sequence(tmp_path)
+    cfg.prior_model_args.update(SMALL_PRIOR)
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    assert runner.config.flip_probability == expected_flip
+    runner.config.num_epochs = 30
+    runner.build()
+    res = runner.pretrain()
+    assert np.isfinite(np.asarray(res["epoch_loss"])).all()
+    metrics = runner.evaluate()
+    assert 0.0 <= metrics["MeanForegroundBinaryMIOU"] <= 1.0
+
+
+def test_noisy_flip_changes_targets(tmp_path):
+    """np0_4 vs np0: the flip probability must actually alter the
+    collected weak-label targets (same synthetic sequence, same seed)."""
+    seq = _write_sequence(tmp_path)
+
+    def collect(flip):
+        cfg, _ = load_reference_config(os.path.join(
+            REF, "noisy-spatio-temporal",
+            "UNET+cars3+edge+diffeo+only_prior+realnvp+spatio-temporal"
+            "+noisy+seed47+np0_4.yaml"))
+        cfg.prior_model_args.update(SMALL_PRIOR)
+        runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+        runner.config.flip_probability = flip
+        runner.build()
+        return runner._collect()
+
+    t0, l0 = collect(0.0)
+    t4, l4 = collect(0.4)
+    np.testing.assert_array_equal(l0, l4)  # labeled set unchanged
+    labeled = np.asarray(l0)
+    diff = (np.asarray(t0)[..., 0] != np.asarray(t4)[..., 0]) & labeled
+    frac = diff.sum() / max(labeled.sum(), 1)
+    assert 0.1 < frac < 0.7, f"flip fraction {frac}"
