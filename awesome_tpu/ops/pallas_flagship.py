@@ -311,18 +311,27 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
             z = z * jnp.exp(W("an_s", i)) + W("an_t", i)
 
         # ---- forward: inverse norm + ICNN ----
+        # skip matmuls are concat-K fused: [wln | wsk] @ [h; xd] turns two
+        # underfilled MXU issues (K=130 -> 2 tiles, plus K=2 -> 1 tile)
+        # into one K=132 (2-tile) issue — ~10% fewer passes overall on a
+        # pass-bound step (docs/design.md round-4 roofline).
         xd = z * post_a_ref[...] + post_b_ref[...]
         pre_acts = []
         h = mm(W("win"), xd) + W("bin")
         pre_acts.append(h)
         h = jnp.maximum(h, 0.0)
         acts = [h]
+        icnn_w = W("win").shape[0]
         for i in range(n_layers):
-            zl = mm(W("wln", i), h) + W("bln", i) + mm(W("wsk", i), xd)
+            wcat = jnp.concatenate([W("wln", i), W("wsk", i)], axis=1)
+            hx = jnp.concatenate([h, xd], axis=0)  # (icnn_w + 2, T)
+            zl = mm(wcat, hx) + W("bln", i)
             pre_acts.append(zl)
             h = jnp.maximum(zl, 0.0)
             acts.append(h)
-        y = mm(W("wout"), h) + W("bout") + mm(W("wosk"), xd)  # (1, T)
+        wcat_out = jnp.concatenate([W("wout"), W("wosk")], axis=1)
+        hx_last = jnp.concatenate([h, xd], axis=0)
+        y = mm(wcat_out, hx_last) + W("bout")  # (1, T)
 
         # ---- loss + dL/dy ----
         if use_sigmoid:
@@ -339,20 +348,25 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         else:
             acc(loss_ref, loss_val.reshape(1, 1))
 
-        # ---- backward: ICNN ----
-        h_last = acts[-1]
-        A("wout", mm(gy, h_last.T))
+        # ---- backward: ICNN (concat-K fused like the forward) ----
+        g_out = mm(gy, hx_last.T)  # (1, icnn_w + 2)
+        A("wout", g_out[:, :icnn_w])
         A("bout", jnp.sum(gy, axis=1, keepdims=True))
-        A("wosk", mm(gy, xd.T))
-        dh = mm(W("wout").T, gy)
-        dxd = mm(W("wosk").T, gy)
+        A("wosk", g_out[:, icnn_w:])
+        d_hx = mm(wcat_out.T, gy)  # (icnn_w + 2, T)
+        dh = d_hx[:icnn_w]
+        dxd = d_hx[icnn_w:]
         for i in reversed(range(n_layers)):
             dz = dh * (pre_acts[i + 1] > 0.0)
-            A("wln", mm(dz, acts[i].T), i)
+            hx_i = jnp.concatenate([acts[i], xd], axis=0)
+            g_cat = mm(dz, hx_i.T)  # (icnn_w, icnn_w + 2)
+            A("wln", g_cat[:, :icnn_w], i)
             A("bln", jnp.sum(dz, axis=1, keepdims=True), i)
-            A("wsk", mm(dz, xd.T), i)
-            dh = mm(W("wln", i).T, dz)
-            dxd = dxd + mm(W("wsk", i).T, dz)
+            A("wsk", g_cat[:, icnn_w:], i)
+            wcat_i = jnp.concatenate([W("wln", i), W("wsk", i)], axis=1)
+            d_hx = mm(wcat_i.T, dz)
+            dh = d_hx[:icnn_w]
+            dxd = dxd + d_hx[icnn_w:]
         dz0 = dh * (pre_acts[0] > 0.0)
         A("win", mm(dz0, xd.T))
         A("bin", jnp.sum(dz0, axis=1, keepdims=True))

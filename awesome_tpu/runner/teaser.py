@@ -399,14 +399,23 @@ def run_repeating(steps_scale: float = 1.0, down_scale: float = 2,
     points = centered_points(fh, fw)
     flat = np.asarray(points)
     model = PeriodicNet(n_hidden=200)
-    params = model.init(jax.random.PRNGKey(seed))
-    fitted, hist = minibatch_fit(
-        model, params,
-        jnp.asarray(flat[target_np.reshape(-1) < 0.5]),
-        jnp.asarray(flat[target_np.reshape(-1) >= 0.5]),  # holes, target 1
-        steps=_scaled(10000, steps_scale), n_sample=500, lr=1e-2,
-        loss="se", coef0=2.0, coef1=1.0, seed=seed,
-    )
+    pts0 = jnp.asarray(flat[target_np.reshape(-1) < 0.5])
+    pts1 = jnp.asarray(flat[target_np.reshape(-1) >= 0.5])  # holes = 1
+    # the sin-feature lattice phase-locks differently per seed (measured
+    # spread 0.37-0.70 IoU) — restart and keep the lowest tail loss,
+    # same train-loss selection as the connectedness teaser
+    best = None
+    for s in range(seed, seed + 3):
+        params = model.init(jax.random.PRNGKey(s))
+        fitted_s, hist_s = minibatch_fit(
+            model, params, pts0, pts1,
+            steps=_scaled(10000, steps_scale), n_sample=500, lr=1e-2,
+            loss="se", coef0=2.0, coef1=1.0, seed=s,
+        )
+        tail = float(jnp.mean(hist_s[-max(hist_s.shape[0] // 20, 1):]))
+        if best is None or tail < best[0]:
+            best = (tail, fitted_s, hist_s)
+    _, fitted, hist = best
     aux = {"loss_hist": hist}
 
     # score at the shipped mask's resolution. Threshold: the notebook
