@@ -253,6 +253,14 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         return jnp.dot(a.astype(cdt), b.astype(cdt),
                        preferred_element_type=f32)
 
+    # NOTE: bf16-casting ONLY the weight-gradient matmuls (K = tile_n,
+    # where bf16 K-packing halves the MXU passes) was measured SLOWER at
+    # 480x640 (5184 vs 4541 us/step): the VPU cast traffic on the
+    # (width, T) operands outweighs the pass savings — same verdict as
+    # full bf16 (docs/design.md round-4 roofline). mmw stays an alias so
+    # the sites remain marked.
+    mmw = mm
+
     # block mask for the merged second layer: rows [s|t] x cols [hs|ht]
     r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 0)
     c4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 1)
@@ -349,7 +357,7 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
             acc(loss_ref, loss_val.reshape(1, 1))
 
         # ---- backward: ICNN (concat-K fused like the forward) ----
-        g_out = mm(gy, hx_last.T)  # (1, icnn_w + 2)
+        g_out = mmw(gy, hx_last.T)  # (1, icnn_w + 2)
         A("wout", g_out[:, :icnn_w])
         A("bout", jnp.sum(gy, axis=1, keepdims=True))
         A("wosk", g_out[:, icnn_w:])
@@ -359,7 +367,7 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         for i in reversed(range(n_layers)):
             dz = dh * (pre_acts[i + 1] > 0.0)
             hx_i = jnp.concatenate([acts[i], xd], axis=0)
-            g_cat = mm(dz, hx_i.T)  # (icnn_w, icnn_w + 2)
+            g_cat = mmw(dz, hx_i.T)  # (icnn_w, icnn_w + 2)
             A("wln", g_cat[:, :icnn_w], i)
             A("bln", jnp.sum(dz, axis=1, keepdims=True), i)
             A("wsk", g_cat[:, icnn_w:], i)
@@ -368,7 +376,7 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
             dh = d_hx[:icnn_w]
             dxd = dxd + d_hx[icnn_w:]
         dz0 = dh * (pre_acts[0] > 0.0)
-        A("win", mm(dz0, xd.T))
+        A("win", mmw(dz0, xd.T))
         A("bin", jnp.sum(dz0, axis=1, keepdims=True))
         dxd = dxd + mm(W("win").T, dz0)
 
@@ -398,10 +406,10 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
                 d_st = d_st * (1.0 - st * st)
             # off-block grads are nonzero algebraically but the stored
             # weights there are exactly 0 and must stay 0 — mask them out
-            A("w2", mm(d_st, h.T) * w2_mask, i)
+            A("w2", mmw(d_st, h.T) * w2_mask, i)
             A("b2", jnp.sum(d_st, axis=1, keepdims=True), i)
             dh_all = mm(W("w2", i).T, d_st) * (h > 0.0)
-            A("w1", mm(dh_all, zm.T), i)
+            A("w1", mmw(dh_all, zm.T), i)
             A("b1", jnp.sum(dh_all, axis=1, keepdims=True), i)
             dzm = mm(W("w1", i).T, dh_all)
             gz = b * gz + inv_b * gz * es + b * dzm
