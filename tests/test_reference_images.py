@@ -59,7 +59,8 @@ def test_convex_depth_vs_shipped_mask():
 
 
 def test_connectedness_cat_vs_shipped_mask():
-    _run("connectedness_cat", 0.3, steps_scale=0.15)
+    # 0.05 * 6000 = the same 300-step budget the floor was calibrated at
+    _run("connectedness_cat", 0.3, steps_scale=0.05)
 
 
 def test_howto_convexity_on_shipped_tomato():
