@@ -357,7 +357,18 @@ def make_shared_pixel_segment_fn(
             lr = cfg.lr * (sched.scale if cfg.use_plateau else 1.0)
             if cfg.extra_penalty_after is not None:
                 lr = jnp.where(extra, lr * cfg.extra_penalty_lr_factor, lr)
-            new_params, new_opt = update_fn(params, grads, opt_state, lr)
+            if cfg.wn_weight_decay > 0.0:
+                # same WN-magnitude decay tree as the per-image engine
+                # (`awesome/run/awesome_runner.py:427-444` splits param
+                # groups for BOTH training modes)
+                new_params, new_opt = update_fn(
+                    params, grads, opt_state, lr,
+                    weight_decay=optim.wn_param_groups(
+                        params, cfg.wn_weight_decay
+                    ),
+                )
+            else:
+                new_params, new_opt = update_fn(params, grads, opt_state, lr)
             if has_clip:
                 new_params = dict(
                     new_params,

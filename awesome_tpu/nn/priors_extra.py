@@ -116,24 +116,32 @@ class PeriodicNet(Module):
     """Periodicity prior: sin features of an affine coordinate map make the
     represented mask repeat. f(x) = W2(sin(10*pi*W1(W0(x + offset)))) with
     W0 a learnable 2x2 affine pre-map (initialized at identity) that lets
-    the period lattice rotate/stretch during the fit."""
+    the period lattice rotate/stretch during the fit.
+
+    ``use_premap=False`` drops W0 entirely — the notebook's own forward
+    (`repeating.ipynb` cell 3) DEFINES a W0 but never applies it, so the
+    faithful replay is sin features straight off W1(x + offset)."""
 
     n_hidden: int = 130
+    use_premap: bool = True
 
     def init(self, key):
         k = jax.random.split(key, 3)
-        return {
+        params = {
             "offset": jnp.zeros((1, 2), jnp.float32),
-            "W0": {
-                "w": jnp.eye(2, dtype=jnp.float32),
-                "b": jnp.zeros((2,), jnp.float32),
-            },
             "W1": Linear(2, self.n_hidden).init(k[1]),
             "W2": Linear(self.n_hidden, 1).init(k[2]),
         }
+        if self.use_premap:
+            params["W0"] = {
+                "w": jnp.eye(2, dtype=jnp.float32),
+                "b": jnp.zeros((2,), jnp.float32),
+            }
+        return params
 
     def apply(self, params, x):
         x = x + jax.lax.stop_gradient(params["offset"])
-        x = x @ params["W0"]["w"] + params["W0"]["b"]
+        if self.use_premap:
+            x = x @ params["W0"]["w"] + params["W0"]["b"]
         h = 10.0 * jnp.pi * (x @ params["W1"]["w"] + params["W1"]["b"])
         return jnp.sin(h) @ params["W2"]["w"] + params["W2"]["b"]

@@ -107,6 +107,9 @@ def _bilateral_message(
     return filt(q * inv_sqrt) * inv_sqrt
 
 
+# Kept as the INDEPENDENT per-image oracle (static compile-time color
+# sigmas): dense_crf routes through the traced-sigma batched program for
+# bucket reuse, and tests/test_crf.py checks that path against this one.
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _mean_field(
     probs: jnp.ndarray,

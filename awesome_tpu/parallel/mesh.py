@@ -116,21 +116,19 @@ def fit_spatiotemporal_sharded(
         mesh = make_mesh()
     grid_axis = "grid" if "grid" in mesh.axis_names else mesh.axis_names[-1]
     params = replicate(mesh, params)
+    # divisibility-aware placement: a point count that does not divide the
+    # grid axis falls back to replication on that axis (correctness first,
+    # like maybe_shard) instead of a device_put error
     if frame_points.ndim == 3:
-        frame_points = jax.device_put(
-            frame_points, NamedSharding(mesh, P(None, grid_axis, None))
-        )
+        frame_points = maybe_shard(
+            mesh, frame_points, (None, grid_axis, None))
     else:
-        frame_points = jax.device_put(
-            frame_points, NamedSharding(mesh, P(grid_axis, None))
-        )
-    frame_targets = jax.device_put(
-        frame_targets, NamedSharding(mesh, P(None, grid_axis, None))
-    )
+        frame_points = maybe_shard(mesh, frame_points, (grid_axis, None))
+    frame_targets = maybe_shard(
+        mesh, frame_targets, (None, grid_axis, None))
     if labeled_masks is not None:
-        labeled_masks = jax.device_put(
-            labeled_masks, NamedSharding(mesh, P(None, grid_axis))
-        )
+        labeled_masks = maybe_shard(
+            mesh, labeled_masks, (None, grid_axis))
     return fit_spatiotemporal_prior(
         model, params, frame_points, frame_targets, labeled_masks, cfg,
         **kwargs,
@@ -153,11 +151,15 @@ def mesh_from_config(config) -> Optional[Mesh]:
     if isinstance(shape, int):
         shape = [shape]
     shape = list(shape) + [1] * (2 - len(shape))
-    n = len(jax.devices())
+    # LOCAL devices only: under jax.distributed each run_sharded worker
+    # executes its OWN experiment shard — a mesh spanning other processes'
+    # non-addressable chips would deadlock mismatched SPMD programs
+    devices = jax.local_devices()
+    n = len(devices)
     if -1 in shape:
         other = shape[1] if shape[0] == -1 else shape[0]
         shape[shape.index(-1)] = max(n // max(other, 1), 1)
-    return make_mesh((int(shape[0]), int(shape[1])))
+    return make_mesh((int(shape[0]), int(shape[1])), devices=devices)
 
 
 def maybe_shard(mesh: Optional[Mesh], x, axes: Sequence[Optional[str]]):

@@ -190,7 +190,12 @@ class AwesomeRunner(Runner):
                 out.get("in_type", "rgbxy"), 3 + enc
             )
             out.setdefault("in_chn", chn)
-            out.setdefault("out_chn", 1)
+            # use_binary_classification (`awesome/run/awesome_runner.py:64`):
+            # binary -> ONE sigmoid channel, else one channel per class
+            out.setdefault(
+                "out_chn",
+                1 if self.config.use_binary_classification else 2,
+            )
         if name == "Net":
             out.setdefault("in_features", 3 + enc)
         import dataclasses as _dc

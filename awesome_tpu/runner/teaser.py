@@ -225,8 +225,6 @@ def run_convex_tomato(steps_scale: float = 1.0, down_scale: float = 1,
     import jax
     import jax.numpy as jnp
 
-    from awesome_tpu.fit import FitConfig
-    from awesome_tpu.fit.prior_fit import make_fit_fn
     from awesome_tpu.nn.icnn import ConvexNextNet
 
     img = load_image(os.path.join(TEASER_DIR, "convex",
@@ -271,8 +269,6 @@ def run_star(steps_scale: float = 1.0, down_scale: float = 2,
     import jax
     import jax.numpy as jnp
 
-    from awesome_tpu.fit import FitConfig
-    from awesome_tpu.fit.prior_fit import make_fit_fn
     from awesome_tpu.nn.priors_extra import StarShapedNet
 
     img = load_image(os.path.join(TEASER_DIR, "star_shaped", "starfish.jpg"),
@@ -323,8 +319,6 @@ def run_rotation_symmetric(steps_scale: float = 1.0, down_scale: float = 2,
     import jax
     import jax.numpy as jnp
 
-    from awesome_tpu.fit import FitConfig
-    from awesome_tpu.fit.prior_fit import make_fit_fn
     from awesome_tpu.nn.priors_extra import RotationSymmetricNet
 
     img = load_image(os.path.join(TEASER_DIR, "rotation_symmetric",
@@ -361,7 +355,9 @@ def run_rotation_symmetric(steps_scale: float = 1.0, down_scale: float = 2,
                                  "original", "mask.png"), (h, w))
     return TeaserResult("rotation_symmetric", mask_iou(mask, ref), mask, ref,
                         {"loss": float(aux["loss_hist"][-1]),
-                         "naive_iou": mask_iou(~likelihood, ~ref)})
+                         # shipped mask is background-white: compare the
+                         # naive background estimate against it directly
+                         "naive_iou": mask_iou(~likelihood, ref)})
 
 
 def run_repeating(steps_scale: float = 1.0, down_scale: float = 2,
@@ -377,8 +373,6 @@ def run_repeating(steps_scale: float = 1.0, down_scale: float = 2,
     import jax
     import jax.numpy as jnp
 
-    from awesome_tpu.fit import FitConfig
-    from awesome_tpu.fit.prior_fit import make_fit_fn
     from awesome_tpu.nn.priors_extra import PeriodicNet
 
     naive = load_mask(os.path.join(TEASER_DIR, "repeating", "original",
@@ -398,7 +392,11 @@ def run_repeating(steps_scale: float = 1.0, down_scale: float = 2,
 
     points = centered_points(fh, fw)
     flat = np.asarray(points)
-    model = PeriodicNet(n_hidden=200)
+    # use_premap=False: the notebook's forward never applies its W0
+    # pre-map (dead code in `repeating.ipynb` cell 3) — the faithful
+    # replay is sin features straight off W1(x + offset). (The repaired
+    # W0 variant reaches 0.69 on its best seed but is a different model.)
+    model = PeriodicNet(n_hidden=200, use_premap=False)
     pts0 = jnp.asarray(flat[target_np.reshape(-1) < 0.5])
     pts1 = jnp.asarray(flat[target_np.reshape(-1) >= 0.5])  # holes = 1
     # the sin-feature lattice phase-locks differently per seed (measured
@@ -502,8 +500,6 @@ def run_connectedness_cat(steps_scale: float = 1.0, down_scale: float = 2,
     import jax
     import jax.numpy as jnp
 
-    from awesome_tpu.fit import FitConfig
-    from awesome_tpu.fit.prior_fit import make_fit_fn
     from awesome_tpu.nn.convex_diffeo import ConvexDiffeomorphismNet
 
     img = load_image(os.path.join(TEASER_DIR, "connectedness",
@@ -514,7 +510,9 @@ def run_connectedness_cat(steps_scale: float = 1.0, down_scale: float = 2,
 
     points = centered_points(h, w)
     flat = np.asarray(points)
-    model = ConvexDiffeomorphismNet()
+    # reference constructor defaults: nf width 70, 4 couplings, convex
+    # 130/1-layer (`convex_diffeomorphism_net.py:41-60` via create())
+    model = ConvexDiffeomorphismNet.create()
     pts0 = jnp.asarray(flat[target_np.reshape(-1) < 0.5])
     pts1 = jnp.asarray(flat[target_np.reshape(-1) >= 0.5])  # scribbles
     # stochastic protocol: restart over a few seeds and keep the fit with
@@ -572,12 +570,12 @@ def run_howto_convexity(steps_scale: float = 1.0, down_scale: float = 2,
     raw = img[..., 0] - img[..., 1] - img[..., 2] - 0.5
     lk = 1.0 / (1.0 + np.exp(-(1.0 - raw)))
     lk = (lk - lk.min()) / max(lk.max() - lk.min(), 1e-9)
-    unaries = (lk < 0.5).astype(np.float32)  # tomato fg = 0
+    likelihood = (lk < 0.5).astype(np.float32)  # tomato = 1 (cell 5)
 
     model = ConvexNextNet(n_hidden=130, n_hidden_layers=1)
     params = model.init(jax.random.PRNGKey(seed))
     points = G.flatten_grid(G.pixel_grid((h, w)))
-    target = jnp.asarray(1.0 - unaries).reshape(-1, 1)
+    target = jnp.asarray(1.0 - likelihood).reshape(-1, 1)  # tomato fg = 0
     cfg = FitConfig(num_steps=_scaled(2000, steps_scale), lr=2e-3,
                     optimizer="adam", fg_weight=0.4,
                     plateau_patience=10**6)
@@ -590,7 +588,7 @@ def run_howto_convexity(steps_scale: float = 1.0, down_scale: float = 2,
     ref = load_mask(os.path.join(TEASER_DIR, "convex", "mask.png"), (h, w))
     return TeaserResult("howto_convexity", mask_iou(mask, ref), mask, ref,
                         {"loss": float(aux["loss_hist"][-1]),
-                         "input_iou": mask_iou(unaries < 0.5, ref)})
+                         "input_iou": mask_iou(likelihood >= 0.5, ref)})
 
 
 def run_howto_path_connectedness(steps_scale: float = 1.0,

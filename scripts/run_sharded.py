@@ -114,14 +114,25 @@ def aggregate(runs_path: str) -> str:
 
 
 def spawn_local(args) -> None:
-    """Launch one worker subprocess per shard (disjoint job sets)."""
+    """Launch one worker subprocess per shard (disjoint job sets).
+
+    Children are forced onto CPU unless --spawn-accelerator: concurrent
+    accelerator processes on one host contend for the same chips (on a
+    single-chip host the second process blocks forever waiting for the
+    grant). Accelerator fan-out belongs to the multi-host mode
+    (--coordinator, one worker per host/slice)."""
+    env = dict(os.environ)
+    if not args.spawn_accelerator:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
     procs = []
     base = [sys.executable, os.path.abspath(__file__),
             "--config-dir", args.config_dir,
             "--num-shards", str(args.num_shards),
             "--runs-path", args.runs_path]
     for sid in range(args.num_shards):
-        procs.append(subprocess.Popen(base + ["--shard-id", str(sid)]))
+        procs.append(subprocess.Popen(base + ["--shard-id", str(sid)],
+                                      env=env))
     rcs = [p.wait() for p in procs]
     if any(rcs):
         raise SystemExit(f"worker shard(s) failed: rcs={rcs}")
@@ -135,6 +146,9 @@ def main():
     p.add_argument("--runs-path", type=str, default="runs/sharded")
     p.add_argument("--spawn", action="store_true",
                    help="fan out --num-shards local worker subprocesses")
+    p.add_argument("--spawn-accelerator", action="store_true",
+                   help="let spawned workers use the accelerator (unsafe "
+                        "with more workers than chips; default: CPU)")
     p.add_argument("--aggregate-only", action="store_true")
     p.add_argument("--no-aggregate", action="store_true")
     # multi-host coordinates (jax.distributed)

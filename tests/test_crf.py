@@ -95,6 +95,25 @@ def test_dense_crf_batched_matches_per_image():
         solo = dense_crf(s.image, unaries[i], options=opts)
         np.testing.assert_allclose(batched[i], solo, atol=2e-3)
         assert ((batched[i] > 0.5) == (solo > 0.5)).all()
+        # dense_crf itself now routes through the traced-sigma batched
+        # program (bucket reuse), so ALSO check against the independent
+        # static-sigma oracle `_mean_field` — the original per-image math
+        # with compile-time color normalization
+        import jax.numpy as jnp
+
+        from awesome_tpu.ops import crf as C
+
+        img255 = (np.clip(s.image, 0, 1) * 255.0).astype(np.float32)
+        u2 = np.concatenate(
+            [unaries[i][..., None], 1.0 - unaries[i][..., None]], axis=-1
+        )
+        flat_idx, dims, blur = C._bilateral_grid_assignment(img255, opts)
+        oracle = np.asarray(C._mean_field(
+            jnp.asarray(u2, jnp.float32), jnp.asarray(flat_idx), dims,
+            blur, opts,
+        ))[..., 0:1]
+        np.testing.assert_allclose(solo, oracle, atol=2e-3)
+        assert ((solo > 0.5) == (oracle > 0.5)).all()
 
 
 def test_per_image_crf_reuses_one_program_per_bucket():

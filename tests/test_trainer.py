@@ -198,3 +198,70 @@ def test_joint_epoch_scan_trains_all_images():
         )
         assert changed, f"prior {i} did not train"
     assert int(new_state.step) == 3
+
+
+def test_shared_mode_wn_weight_decay_applies():
+    """Round-4 review finding: wn_weight_decay must reach the SHARED
+    ('multi') engine too, not just the per-image one — a WN magnitude
+    leaf ('g') must decay relative to the no-decay run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awesome_tpu.fit.pixel_trainer import (
+        PixelTrainConfig,
+        make_shared_pixel_segment_fn,
+        shared_pixel_train_init,
+    )
+    from awesome_tpu.nn.convex_diffeo import ConvexDiffeomorphismNet
+    from awesome_tpu.nn.seg import Net
+    from awesome_tpu.nn.wrapper import WrapperModule
+
+    # ConvexDiffeo's NormalizingFlow1D backbones are weight-normalized
+    # (WNLinear 'g' magnitude leaves) — the params the reference's
+    # get_weight_normalized_param_groups targets
+    prior = ConvexDiffeomorphismNet.create(
+        in_features=2, n_hidden=8, nf_layers=2, nf_hidden=8)
+    wrapper = WrapperModule(
+        segmentation_module=Net(n_hidden=8), prior_module=prior,
+        prior_arg_mode="xy_c_preattached",
+    )
+    b, n = 2, 64
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(0, 1, (b, n, 5)).astype(np.float32))
+    gt = jnp.asarray((rng.uniform(0, 1, (b, n, 1)) > 0.5).astype(np.float32))
+    smask = jnp.ones((b, n), bool)
+    rmask = jnp.zeros((b, n), bool)
+
+    def g_leaves(params):
+        out = []
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if k == "g":
+                        out.append(np.asarray(v))
+                    else:
+                        walk(v)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    walk(v)
+
+        walk(params)
+        return out
+
+    results = {}
+    for wd in (0.0, 1.0):
+        cfg = PixelTrainConfig(num_epochs=5, lr=1e-3, wn_weight_decay=wd)
+        state = shared_pixel_train_init(
+            wrapper, jax.random.PRNGKey(0), b, cfg)
+        seg_fn = make_shared_pixel_segment_fn(wrapper, cfg, 5)
+        state, _ = seg_fn(state, px, gt, smask, rmask,
+                          jnp.ones((b,), bool))
+        results[wd] = g_leaves(state.params)
+    assert results[1.0], "flagship prior should carry WN 'g' leaves"
+    # coupled-L2 decay (torch semantics) biases every update toward
+    # -sign(g): magnitudes must shrink vs the undecayed run
+    mean_nowd = np.mean([np.mean(np.abs(x)) for x in results[0.0]])
+    mean_wd = np.mean([np.mean(np.abs(x)) for x in results[1.0]])
+    assert mean_wd < mean_nowd, (mean_wd, mean_nowd)
