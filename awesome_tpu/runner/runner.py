@@ -435,8 +435,10 @@ class AwesomeRunner(Runner):
         _get_xy): 'feat' = 2-ch PCA semantic features, 'featxy' = (xy, feat),
         'edge' = Sobel edge map, 'edgexy' = (xy, edge). Returns None for
         plain 'xy' (the default normalized grid). Without precomputed SSS
-        embedmaps (zero egress) the PCA falls back to the rgb image as the
-        embedding."""
+        embedmaps (zero egress) the fallback is the spectral-matting
+        proxy (`runner/sss_extractor.py:spectral_soft_segments` —
+        matting-Laplacian eigenvectors, the non-semantic half of the SSS
+        pipeline), cached per image; RGB-PCA as the last resort."""
         xytype = self.xytype
         if xytype == "xy":
             return None
@@ -457,7 +459,23 @@ class AwesomeRunner(Runner):
                     feature_dir, f"img_{getattr(s, 'index', 0)}"
                 )
             if feat is None:
-                feat = semantic_features(s.image)
+                key = getattr(s, "index", None)
+                cache = getattr(self, "_feat_cache", None)
+                if cache is None:
+                    cache = self._feat_cache = {}
+                if key is not None and key in cache:
+                    feat = cache[key]
+                else:
+                    from awesome_tpu.runner.sss_extractor import (
+                        spectral_soft_segments,
+                    )
+
+                    try:
+                        feat = spectral_soft_segments(s.image)
+                    except Exception:
+                        feat = semantic_features(s.image)
+                    if key is not None:
+                        cache[key] = feat
             return feat if xytype == "feat" else np.concatenate(
                 [xy, feat], -1
             )

@@ -1,0 +1,128 @@
+"""Spectral-matting SSS proxy: matting Laplacian + eigenvector features.
+
+The reference's feature front-end is the TF1 Soft-Semantic-Segmentation
+net (`awesome/run/semantic_soft_segmentation_extractor.py:1-261`) whose
+embedmaps feed a matting-Laplacian spectral pipeline (Aksoy et al. 2018).
+Without TF1 the extractor falls back to the Laplacian alone
+(`awesome_tpu/runner/sss_extractor.py`); these tests pin its math and the
+segmentation quality of the resulting features.
+"""
+import numpy as np
+import pytest
+
+
+def _two_region_image(h=96, w=128, noise=0.03, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    img[...] = [0.2, 0.3, 0.8]
+    yy, xx = np.mgrid[0:h, 0:w]
+    blob = ((yy - h // 2) ** 2 / 900 + (xx - w // 2) ** 2 / 1600) < 1.0
+    img[blob] = [0.8, 0.5, 0.1]
+    img += rng.normal(0, noise, img.shape).astype(np.float32)
+    return np.clip(img, 0, 1), blob
+
+
+def test_matting_laplacian_properties():
+    from awesome_tpu.runner.sss_extractor import matting_laplacian
+
+    img, _ = _two_region_image(24, 24)
+    L = matting_laplacian(img.astype(np.float64))
+    n = L.shape[0]
+    assert L.shape == (24 * 24, 24 * 24)
+    # constants span the nullspace: L @ 1 = 0
+    assert np.abs(L @ np.ones(n)).max() < 1e-10
+    # symmetric
+    assert abs(L - L.T).max() < 1e-12
+    # PSD: Rayleigh quotients of random vectors are non-negative
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        v = rng.normal(size=n)
+        assert v @ (L @ v) >= -1e-9
+
+
+def test_spectral_features_segment_and_determinism():
+    from awesome_tpu.runner.sss_extractor import spectral_soft_segments
+
+    img, blob = _two_region_image()
+    f = spectral_soft_segments(img, 2)
+    assert f.shape == (96, 128, 2) and f.dtype == np.float32
+    assert float(f.min()) >= 0.0 and float(f.max()) <= 1.0
+    # deterministic across calls (fixed Lanczos start vector)
+    assert np.array_equal(f, spectral_soft_segments(img, 2))
+    # the leading soft segment is piecewise-constant per region and
+    # thresholds to the true region
+    gaps = [
+        abs(f[..., c][blob].mean() - f[..., c][~blob].mean())
+        for c in range(2)
+    ]
+    c = int(np.argmax(gaps))
+    assert gaps[c] > 0.5
+    m = f[..., c] > 0.5
+    if m[blob].mean() < 0.5:
+        m = ~m
+    iou = (m & blob).sum() / (m | blob).sum()
+    assert iou > 0.95, iou
+    # within-region smoothness: stds far below the cross-region gap
+    assert f[..., c][blob].std() < 0.1
+    assert f[..., c][~blob].std() < 0.1
+
+
+def test_spectral_downscale_path_shapes():
+    from awesome_tpu.runner.sss_extractor import spectral_soft_segments
+
+    img, blob = _two_region_image(180, 250)  # > max_side: eig on downscale
+    f = spectral_soft_segments(img, 2, max_side=96)
+    assert f.shape == (180, 250, 2)
+    gaps = [
+        abs(f[..., c][blob].mean() - f[..., c][~blob].mean())
+        for c in range(2)
+    ]
+    assert max(gaps) > 0.5
+
+
+def test_extractor_prefers_spectral_and_falls_back(tmp_path):
+    from awesome_tpu.runner.sss_extractor import (
+        SemanticSoftSegmentationExtractor,
+        spectral_soft_segments,
+    )
+
+    img, _ = _two_region_image(48, 64)
+    ex = SemanticSoftSegmentationExtractor(str(tmp_path))
+    f = ex.extract(img, "a")
+    np.testing.assert_array_equal(f, spectral_soft_segments(img, 2))
+    # pyramid proxy still reachable
+    ex2 = SemanticSoftSegmentationExtractor(str(tmp_path), proxy="pyramid")
+    f2 = ex2.extract(img, "a")
+    assert f2.shape == (48, 64, 2)
+    assert not np.array_equal(f, f2)
+    # precomputed embedmaps keep priority over any proxy
+    emb = np.concatenate([img, img], axis=-1)
+    np.save(tmp_path / "b.npy", emb)
+    from awesome_tpu.data.image_sample import semantic_features
+
+    np.testing.assert_allclose(
+        ex.extract(img, "b"), semantic_features(emb, 2), atol=1e-5
+    )
+
+
+def test_runner_feat_encoding_uses_spectral():
+    """The 'feat' xytype fallback (no feature_dir) routes through the
+    spectral proxy and caches per image index
+    (`runner/runner.py:_encoding_map`)."""
+    from awesome_tpu.runner.config import AwesomeConfig
+    from awesome_tpu.runner.runner import AwesomeRunner
+
+    cfg = AwesomeConfig(
+        dataset_args={"xytype": "feat", "n": 2, "h": 24, "w": 32},
+        num_epochs=1,
+    )
+    runner = AwesomeRunner(cfg)
+    runner.build_dataset()
+    s = runner.samples[0]
+    enc = runner._encoding_map(s)
+    assert enc.shape == (24, 32, 2), enc.shape
+    from awesome_tpu.runner.sss_extractor import spectral_soft_segments
+
+    np.testing.assert_array_equal(enc, spectral_soft_segments(s.image))
+    # cached: second call returns the identical object
+    assert runner._encoding_map(s) is runner._feat_cache[s.index]
