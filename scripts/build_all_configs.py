@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Build EVERY reference YAML: import -> construct -> ready to train.
+
+Upgrades the importer completeness gate from "all 207 reference YAMLs
+parse with no unmapped fields" (tests/test_reference_import.py) to "all
+207 build": dataset assembled (synthetic replica when the real download
+is absent), segmentation + prior models constructed at the YAML's
+declared sizes, stacked per-image params initialized, optimizer state
+built. No training — this sweeps breadth, the per-family e2e tests sweep
+depth (tests/test_reference_e2e_families.py).
+
+Replaces nothing in the reference (its YAMLs are consumed by
+`awesome/run/config.py` + SLURM job files); spec anchor:
+`awesome/run/awesome_runner.py` build path.
+
+    python scripts/build_all_configs.py [--config-root DIR] [--limit N]
+
+Writes a JSON report (runs/build_all/report.json) and exits nonzero on
+any failure.
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32):
+    """Synthetic moving-disk sequence in FBMS on-disk layout (frames +
+    multicut trajectory file + sparse GT), mirror of
+    tests/test_fbms.py:_write_sequence."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    seq = os.path.join(root, "cars99")
+    os.makedirs(os.path.join(seq, "GroundTruth"), exist_ok=True)
+    os.makedirs(os.path.join(seq, "tracks", "multicut"), exist_ok=True)
+    trajs = []
+    for oid, n_traj in ((1, 12), (0, 20)):
+        for _ in range(n_traj):
+            x0 = rng.uniform(4, 10) if oid == 1 else rng.uniform(0, w - 1)
+            y0 = rng.uniform(8, 16) if oid == 1 else rng.uniform(0, h - 1)
+            pts = [
+                (min(x0 + (3 * f if oid == 1 else 0), w - 1), y0, f)
+                for f in range(n_frames)
+            ]
+            trajs.append((oid, pts))
+    with open(os.path.join(seq, "tracks", "multicut", "cars99.dat"), "w") as f:
+        f.write(f"{n_frames}\n{len(trajs)}\n")
+        for oid, pts in trajs:
+            f.write(f"{oid} {len(pts)}\n")
+            for x, y, fr in pts:
+                f.write(f"{x:.2f} {y:.2f} {fr}\n")
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n_frames):
+        img = np.zeros((h, w, 3), np.uint8) + 30
+        img[((yy - 12) ** 2 + (xx - (7 + 3 * i)) ** 2) <= 36] = 200
+        Image.fromarray(img).save(os.path.join(seq, f"cars99_{i:02d}.png"))
+    for i in (0, n_frames - 1):
+        gt = np.where(
+            ((yy - 12) ** 2 + (xx - (7 + 3 * i)) ** 2) <= 36, 255, 0
+        ).astype(np.uint8)
+        Image.fromarray(gt).save(
+            os.path.join(seq, "GroundTruth", f"{i:03d}.png"))
+    return seq
+
+
+def build_one(path: str, seq_dir: str, runs_path: str):
+    from awesome_tpu.runner.reference_import import load_reference_config
+
+    cfg, extra = load_reference_config(path)
+    if extra:
+        raise RuntimeError(f"unmapped reference fields: {sorted(extra)}")
+    cfg.runs_path = runs_path
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__))))
+    from run import _is_fbms  # scripts/run.py routing, verbatim
+
+    if _is_fbms(cfg):
+        from awesome_tpu.runner.fbms_runner import FBMSRunner
+
+        runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq_dir)
+    else:
+        from awesome_tpu.runner.runner import AwesomeRunner
+
+        # keep the synthetic replica small: breadth sweep, not a fit
+        cfg.dataset_args = dict(cfg.dataset_args or {})
+        cfg.dataset_args.setdefault("n", 2)
+        cfg.dataset_args.setdefault("h", 24)
+        cfg.dataset_args.setdefault("w", 32)
+        runner = AwesomeRunner(cfg)
+    runner.build()
+    # the built artifacts a training step would consume
+    checks = {
+        "has_params": getattr(runner, "stacked_params", None) is not None
+        or getattr(runner, "params", None) is not None
+        or getattr(runner, "state", None) is not None,
+    }
+    return checks
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-root", default="/root/reference/config")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--stratified", action="store_true",
+                   help="one YAML per config directory (fast CI sample)")
+    p.add_argument("--out", default="runs/build_all")
+    args = p.parse_args()
+
+    yamls = []
+    for root, _, files in os.walk(args.config_root):
+        names = sorted(f for f in files if f.endswith(".yaml"))
+        if args.stratified:
+            names = names[:1]
+        yamls += [os.path.join(root, f) for f in names]
+    yamls.sort()
+    if args.limit:
+        yamls = yamls[: args.limit]
+
+    os.makedirs(args.out, exist_ok=True)
+    ok, failures = [], {}
+    with tempfile.TemporaryDirectory() as tmp:
+        seq_dir = write_sequence(tmp)
+        runs_path = os.path.join(tmp, "runs")
+        for i, y in enumerate(yamls):
+            rel = os.path.relpath(y, args.config_root)
+            t0 = time.time()
+            try:
+                build_one(y, seq_dir, runs_path)
+                ok.append(rel)
+                print(f"[{i + 1}/{len(yamls)}] {rel}: OK "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                failures[rel] = repr(e)
+                traceback.print_exc()
+                print(f"[{i + 1}/{len(yamls)}] {rel}: FAIL {e!r}",
+                      flush=True)
+
+    report = {"total": len(yamls), "ok": len(ok), "failures": failures}
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"built {len(ok)}/{len(yamls)}; report -> {args.out}/report.json")
+    if failures:
+        raise SystemExit(f"{len(failures)} configs failed to build")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,8 @@ import pytest
 
 from awesome_tpu.runner.reference_import import load_reference_config
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 REF = "/root/reference/config"
 
 pytestmark = pytest.mark.skipif(
@@ -132,3 +134,31 @@ def test_agent_args_pretrain_fields_lifted():
     assert cfg.pretrain_args["reuse_state_epochs"] == 400
     assert cfg.pretrain_state_path.endswith(".pth")
     assert cfg.pretrain_only is False
+
+
+def test_stratified_reference_configs_build(tmp_path):
+    """One YAML per reference config directory BUILDS: importer -> runner
+    routing -> dataset (synthetic replica) -> models at declared sizes ->
+    stacked params + optimizer state (scripts/build_all_configs.py; the
+    full 207-config sweep runs standing, runs/build_all/report.json)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "report"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "build_all_configs.py"),
+         "--stratified", "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    report = json.load(open(out / "report.json"))
+    assert report["total"] == 9  # one per reference config directory
+    assert report["ok"] == 9 and not report["failures"]
