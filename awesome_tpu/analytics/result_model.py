@@ -203,7 +203,10 @@ class NoisyUnariesResultModel(ResultModel):
             return None
         for source in (cfg.dataset_args or {}, getattr(cfg, "pretrain_args",
                                                        {}) or {}):
-            for key in ("flip_probability", "noise", "noise_level"):
+            # 'noisy_percentage' is the key the reference's own
+            # noisy-spatio-temporal YAMLs carry (pretrain_args)
+            for key in ("flip_probability", "noise", "noise_level",
+                        "noisy_percentage"):
                 if key in source:
                     return float(source[key])
             inner = source.get("dataset")

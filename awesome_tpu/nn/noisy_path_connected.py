@@ -75,17 +75,53 @@ def pretrain_noisy(
     )
     from awesome_tpu.fit.spatiotemporal import fit_spatiotemporal_prior
 
+    params = apply_prefits(
+        model, params, frame_points, frame_targets,
+        {
+            "prefit_flow_net_identity": prefit_flow_net_identity,
+            "prefit_flow_net_identity_lr": prefit_flow_net_identity_lr,
+            "prefit_flow_net_identity_num_epochs":
+                prefit_flow_net_identity_num_epochs,
+            "prefit_convex_net": prefit_convex_net,
+            "prefit_convex_net_lr": prefit_convex_net_lr,
+            "prefit_convex_net_num_epochs": prefit_convex_net_num_epochs,
+        },
+    )
+    cfg = FitConfig(num_steps=num_epochs, lr=lr, weight_mode=weight_mode,
+                    **fit_kwargs)
+    return fit_spatiotemporal_prior(
+        model, params, frame_points, frame_targets, labeled_masks, cfg,
+        num_epochs=num_epochs,
+    )
+
+
+def apply_prefits(model, params, frame_points, frame_targets, pa: dict):
+    """The reference override's warm-start prefits, driven by the YAML's
+    ``pretrain_args`` keys (`noisy_path_connected_net.py:38-160`): flow ~
+    identity on the sequence grid; ICNN on the FIRST + LAST frames'
+    unaries (the reference stacks frames 0 and -1)."""
+    import jax.numpy as jnp
+
+    from awesome_tpu.fit.prior_fit import (
+        learn_convex_net,
+        learn_flow_identity,
+    )
+
     pts_flat = (
         frame_points.reshape(-1, frame_points.shape[-1])
         if frame_points.ndim == 3
         else frame_points
     )
-    if prefit_flow_net_identity:
+    if pa.get("prefit_flow_net_identity"):
         params, _ = learn_flow_identity(
-            model, params, pts_flat, lr=prefit_flow_net_identity_lr,
-            max_iter=prefit_flow_net_identity_num_epochs,
+            model, params, pts_flat,
+            lr=float(pa.get("prefit_flow_net_identity_lr", 1e-2)),
+            weight_decay=float(
+                pa.get("prefit_flow_net_identity_weight_decay", 1e-5)),
+            max_iter=int(
+                pa.get("prefit_flow_net_identity_num_epochs", 100)),
         )
-    if prefit_convex_net:
+    if pa.get("prefit_convex_net"):
         first_last_pts = jnp.concatenate(
             [frame_points[0], frame_points[-1]], axis=0
         )
@@ -94,11 +130,9 @@ def pretrain_noisy(
         )
         params, _ = learn_convex_net(
             model, params, first_last_pts, first_last_tgt, mode="unaries",
-            lr=prefit_convex_net_lr, max_iter=prefit_convex_net_num_epochs,
+            lr=float(pa.get("prefit_convex_net_lr", 1e-3)),
+            weight_decay=float(
+                pa.get("prefit_convex_net_weight_decay", 0.0)),
+            max_iter=int(pa.get("prefit_convex_net_num_epochs", 200)),
         )
-    cfg = FitConfig(num_steps=num_epochs, lr=lr, weight_mode=weight_mode,
-                    **fit_kwargs)
-    return fit_spatiotemporal_prior(
-        model, params, frame_points, frame_targets, labeled_masks, cfg,
-        num_epochs=num_epochs,
-    )
+    return params

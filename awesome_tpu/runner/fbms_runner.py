@@ -30,6 +30,13 @@ logger = logging.getLogger(__name__)
 class FBMSExperimentConfig:
     dataset_path: str = ""
     flip_probability: float = 0.0
+    # the noisy-spatio-temporal family's noise model: this FRACTION OF
+    # FRAMES (middle frames only — first/last prefit the convex net) has
+    # its dense unaries replaced by clamp(N(0.5, 1), 0, 1) garbage, and
+    # the (x, y, t) prior must bridge them
+    # (`awesome/model/noisy_path_connected_net.py:178-230`). None =
+    # trajectory weak-label fit (flip_probability applies there instead).
+    frame_noise_percentage: Optional[float] = None
     noise_seed: int = 0
     num_epochs: int = 2000
     lr: float = 1e-3
@@ -95,20 +102,52 @@ class FBMSRunner:
         batch size and flip settings from the nested dataset args."""
         pargs = dict(cfg.prior_model_args or {})
         ds = (cfg.dataset_args or {}).get("dataset") or {}
-        # noisy spatio-temporal family: 'noisy_percentage' is the label
-        # flip probability; the reference nests it in pretrain_args
-        # (`config/path-connectedness/noisy-spatio-temporal/*.yaml`)
-        flip = 0.0
+        # noisy spatio-temporal family: 'noisy_percentage' is the FRAME
+        # noise fraction — that fraction of middle frames has its dense
+        # unaries replaced by random garbage before the shared (x, y, t)
+        # fit (`awesome/model/noisy_path_connected_net.py:178-230`); the
+        # reference nests it in pretrain_args. Presence of the key (even
+        # at 0) selects the dense-unaries protocol.
+        frame_noise = None
         for source in (cfg.pretrain_args or {}, ds,
                        cfg.dataset_args or {}):
-            if source.get("noisy_percentage"):
-                flip = float(source["noisy_percentage"])
+            if "noisy_percentage" in source:
+                frame_noise = float(source["noisy_percentage"])
                 break
+        # point-level weak-label flipping is the separate data-layer
+        # feature (`data/weak_label_processing.py`)
+        flip = 0.0
+        for source in (ds, cfg.dataset_args or {}):
+            if source.get("flip_probability"):
+                flip = float(source["flip_probability"])
+                break
+        # pretrain-only families budget the PRIOR fit via
+        # pretrain_args.num_epochs (the YAML's top-level num_epochs is
+        # the joint-loop count, unused there) — e.g. the
+        # noisy-spatio-temporal YAMLs carry num_epochs: 100 (joint) but
+        # pretrain num_epochs: 1000
+        pa = cfg.pretrain_args or {}
+        pretrain_only = bool(getattr(cfg, "pretrain_only", False))
+        epochs = (
+            int(pa["num_epochs"])
+            if pretrain_only and pa.get("num_epochs")
+            else cfg.num_epochs
+        )
+        # pretrain-only budget/lr come from pretrain_args (the top-level
+        # optimizer lr is the joint loop's)
+        lr = (
+            float(pa["lr"]) if pretrain_only and pa.get("lr")
+            else float(cfg.optimizer_args.get("lr", 1e-4))
+        )
         c = FBMSExperimentConfig(
             dataset_path=dataset_path or ds.get("dataset_path", ""),
             flip_probability=flip,
-            num_epochs=cfg.num_epochs,
-            lr=float(cfg.optimizer_args.get("lr", 1e-4)),
+            frame_noise_percentage=frame_noise,
+            # noise draw follows the experiment seed (seed42/47/131 YAMLs
+            # are independent noise realizations of the same noise level)
+            noise_seed=cfg.seed,
+            num_epochs=epochs,
+            lr=lr,
             prior_hidden_units=int(pargs.get("hidden_units", 32)),
             prior_flows=int(pargs.get("flow_n_flows", 12)),
             convex_hidden_units=int(pargs.get("convex_net_hidden_units", 130)),
@@ -346,6 +385,51 @@ class FBMSRunner:
             labeled[i] = s["labeled"].reshape(-1)
         return targets, labeled
 
+    def _dense_unaries(self) -> np.ndarray:
+        """(T, N, 1) dense per-frame unaries (fg = 0). The reference
+        forwards its pretrained UNet checkpoint per frame
+        (`awesome/model/noisy_path_connected_net.py:208-215`,
+        `segmentation_model_state_dict_path`); the torch checkpoint is
+        unloadable here (zero egress), so the replica derives a soft
+        likelihood from each frame, polarity-oriented by the weak labels
+        (low values on the fg side — what the weak-label-trained UNet
+        outputs)."""
+        t = len(self.dataset)
+        h, w = self.shape
+        un = np.zeros((t, h * w, 1), np.float32)
+        for i in range(t):
+            frame = self.dataset.load_frame(i)
+            g = frame.mean(-1).reshape(-1)
+            g = (g - g.min()) / max(g.max() - g.min(), 1e-9)
+            s = self.dataset.sample(i)
+            lab = s["labeled"].reshape(-1)
+            tgt = s["unaries"].reshape(-1)
+            fg = lab & (tgt < 0.5)
+            bg = lab & (tgt >= 0.5)
+            if fg.any() and bg.any() and g[fg].mean() > g[bg].mean():
+                g = 1.0 - g
+            un[i, :, 0] = g
+        return un
+
+    def _frame_noise_targets(self):
+        """Dense unaries with the noisy-st family's frame-level noise:
+        ``round(T * pct)`` MIDDLE frames (first/last exempt — they prefit
+        the convex net) get their unaries replaced by fixed draws of
+        clamp(N(0.5, 1), 0, 1)
+        (`awesome/model/noisy_path_connected_net.py:178-230`)."""
+        un = self._dense_unaries()
+        t = un.shape[0]
+        pct = float(self.config.frame_noise_percentage or 0.0)
+        rng = np.random.default_rng(self.config.noise_seed)
+        middle = np.arange(1, max(t - 1, 1))
+        k = min(int(round(t * pct)), len(middle))
+        if k > 0:
+            for i in rng.choice(middle, size=k, replace=False):
+                un[i, :, 0] = np.clip(
+                    rng.normal(0.5, 1.0, un.shape[1]), 0.0, 1.0)
+        labeled = np.ones((t, un.shape[1]), bool)
+        return un, labeled
+
     def _mesh(self):
         """Config-selected device mesh (cached; None = single-device)."""
         if not hasattr(self, "_mesh_cache"):
@@ -364,8 +448,22 @@ class FBMSRunner:
         )
 
         cfg = self.config
-        targets, labeled = self._collect()
+        if cfg.frame_noise_percentage is not None:
+            # noisy-st family: dense unaries with frame-level garbage
+            targets, labeled = self._frame_noise_targets()
+        else:
+            targets, labeled = self._collect()
         points = sequence_points(self.shape, len(self.dataset))
+        # honor the YAML's pretrain_args warm-start prefits (flow ~
+        # identity + convex on first/last frames — the noisy-st family
+        # declares both, `noisy_path_connected_net.py:38-160`)
+        pa = dict(getattr(self.awesome_config, "pretrain_args", None) or {}
+                  ) if self.awesome_config is not None else {}
+        if pa.get("prefit_flow_net_identity") or pa.get("prefit_convex_net"):
+            from awesome_tpu.nn.noisy_path_connected import apply_prefits
+
+            self.params = apply_prefits(
+                self.model, self.params, points, jnp.asarray(targets), pa)
         fit_cfg = FitConfig(
             num_steps=cfg.num_epochs, lr=cfg.lr, weight_mode=cfg.weight_mode
         )
@@ -399,6 +497,41 @@ class FBMSRunner:
             "epoch_loss": np.asarray(aux["epoch_loss"]),
             "lr_scale": float(aux["lr_scale"]),
         }
+
+    def save_results(
+        self, metrics: Optional[Dict[str, float]] = None
+    ) -> str:
+        """Persist a pretrain-only run in the ResultModel on-disk layout
+        (config.yaml + tracker.json + params.npz) so FBMS runs are
+        scannable by the analytics layer — in particular
+        `NoisyUnariesResultModel` noise curves, the
+        `fbms_spatio_temporal_noisy_eval.ipynb` pipeline
+        (spec `awesome/analytics/result_model.py:668`)."""
+        import jax
+
+        from awesome_tpu.fit.tracker import Tracker
+        from awesome_tpu.serialization.jsonconv import save_yaml
+
+        acfg = self.awesome_config
+        if acfg is None:
+            raise ValueError("built without from_awesome_config")
+        if not getattr(acfg, "run_name", None):
+            acfg.prepare()
+        out = acfg.output_folder or os.path.join(
+            acfg.runs_path, acfg.run_name)
+        os.makedirs(out, exist_ok=True)
+        save_yaml(acfg, os.path.join(out, "config.yaml"))
+        tracker = Tracker()
+        for k, v in (metrics or self.evaluate()).items():
+            tracker.epoch_metric(k, v, "eval")
+        tracker.tick_epoch()
+        tracker.save(os.path.join(out, "tracker.json"))
+        leaves, treedef = jax.tree_util.tree_flatten(self.params)
+        np.savez(os.path.join(out, "params.npz"),
+                 *[np.asarray(x) for x in leaves])
+        with open(os.path.join(out, "treedef.txt"), "w") as f:
+            f.write(str(treedef))
+        return out
 
     def evaluate(self) -> Dict[str, float]:
         import jax

@@ -215,7 +215,14 @@ def from_jsonable(data: Any) -> Any:
         return _pickle_decode(data)
     if data.get("__enum__"):
         return dynamic_import(tag)(from_jsonable(data["value"]))
-    cls = dynamic_import(tag)
+    try:
+        cls = dynamic_import(tag)
+    except (ImportError, AttributeError):
+        # lenient resurrection: a foreign class tag (e.g. the reference's
+        # own `awesome.*` tags carried inside imported configs) degrades
+        # to a plain dict with the tag preserved instead of failing the
+        # whole load — analytics can still read every plain field
+        return {k: from_jsonable(v) for k, v in data.items()}
     kwargs = {
         k: from_jsonable(v) for k, v in data.items()
         if k not in (CLASS_KEY,)

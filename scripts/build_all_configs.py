@@ -29,7 +29,8 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32):
+def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32,
+                   n_fg: int = 12, n_bg: int = 20):
     """Synthetic moving-disk sequence in FBMS on-disk layout (frames +
     multicut trajectory file + sparse GT), mirror of
     tests/test_fbms.py:_write_sequence."""
@@ -41,10 +42,16 @@ def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32):
     os.makedirs(os.path.join(seq, "GroundTruth"), exist_ok=True)
     os.makedirs(os.path.join(seq, "tracks", "multicut"), exist_ok=True)
     trajs = []
-    for oid, n_traj in ((1, 12), (0, 20)):
+    for oid, n_traj in ((1, n_fg), (0, n_bg)):
         for _ in range(n_traj):
-            x0 = rng.uniform(4, 10) if oid == 1 else rng.uniform(0, w - 1)
-            y0 = rng.uniform(8, 16) if oid == 1 else rng.uniform(0, h - 1)
+            if oid == 1:
+                # uniform over the moving disk (center (7, 12), r 6) so
+                # the labels cover the full object incl. its boundary
+                r = 5.5 * np.sqrt(rng.uniform())
+                a = rng.uniform(0, 2 * np.pi)
+                x0, y0 = 7 + r * np.cos(a), 12 + r * np.sin(a)
+            else:
+                x0, y0 = rng.uniform(0, w - 1), rng.uniform(0, h - 1)
             pts = [
                 (min(x0 + (3 * f if oid == 1 else 0), w - 1), y0, f)
                 for f in range(n_frames)
@@ -61,12 +68,25 @@ def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32):
         img = np.zeros((h, w, 3), np.uint8) + 30
         img[((yy - 12) ** 2 + (xx - (7 + 3 * i)) ** 2) <= 36] = 200
         Image.fromarray(img).save(os.path.join(seq, f"cars99_{i:02d}.png"))
-    for i in (0, n_frames - 1):
+    gt_frames = (0, n_frames - 1)
+    for i in gt_frames:
         gt = np.where(
             ((yy - 12) ** 2 + (xx - (7 + 3 * i)) ** 2) <= 36, 255, 0
         ).astype(np.uint8)
         Image.fromarray(gt).save(
-            os.path.join(seq, "GroundTruth", f"{i:03d}.png"))
+            os.path.join(seq, "GroundTruth", f"gt_{i:02d}.png"))
+    # the Def.dat GT description the loader indexes frames by
+    # (`awesome_tpu/data/fbms.py` gt_description)
+    with open(os.path.join(seq, "GroundTruth", "cars99Def.dat"), "w") as f:
+        f.write(
+            "Sequence cars99\n\nTotal number of regions:\n2\n"
+            "Scale of region 0:\n100\nScale of region 1:\n50\n\n"
+            "Confusion penality matrix:\n0 1\n1 0\n\n"
+            f"Total number of frames in this shot:\n{n_frames}\n"
+            "Total number of labeled frames for this shot:\n"
+            f"{len(gt_frames)}\n"
+            + "".join(f"gt_{i:02d}.png\n{i}\n" for i in gt_frames)
+        )
     return seq
 
 
