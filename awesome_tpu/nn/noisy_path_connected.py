@@ -66,13 +66,7 @@ def pretrain_noisy(
     regularizer (isolated flipped points cannot bend the connected
     space-time tube) — matching the reference's finding that IoU degrades
     gracefully up to ~20-30% flip rates (BASELINE.md)."""
-    import jax.numpy as jnp
-
-    from awesome_tpu.fit.prior_fit import (
-        FitConfig,
-        learn_convex_net,
-        learn_flow_identity,
-    )
+    from awesome_tpu.fit.prior_fit import FitConfig
     from awesome_tpu.fit.spatiotemporal import fit_spatiotemporal_prior
 
     params = apply_prefits(

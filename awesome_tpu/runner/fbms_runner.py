@@ -462,8 +462,18 @@ class FBMSRunner:
         if pa.get("prefit_flow_net_identity") or pa.get("prefit_convex_net"):
             from awesome_tpu.nn.noisy_path_connected import apply_prefits
 
+            # the reference prefits the convex net against DENSE unaries
+            # of frames 0/-1 (`noisy_path_connected_net.py:140-160`) — in
+            # the trajectory weak-label branch `targets` is 98% background
+            # FILL (weight 0 in the fit), which would collapse the
+            # prefit toward all-bg; always anchor on dense unaries
+            prefit_targets = (
+                targets if cfg.frame_noise_percentage is not None
+                else self._dense_unaries()
+            )
             self.params = apply_prefits(
-                self.model, self.params, points, jnp.asarray(targets), pa)
+                self.model, self.params, points,
+                jnp.asarray(prefit_targets), pa)
         fit_cfg = FitConfig(
             num_steps=cfg.num_epochs, lr=cfg.lr, weight_mode=cfg.weight_mode
         )
@@ -507,31 +517,21 @@ class FBMSRunner:
         `NoisyUnariesResultModel` noise curves, the
         `fbms_spatio_temporal_noisy_eval.ipynb` pipeline
         (spec `awesome/analytics/result_model.py:668`)."""
-        import jax
-
         from awesome_tpu.fit.tracker import Tracker
-        from awesome_tpu.serialization.jsonconv import save_yaml
+        from awesome_tpu.runner.runner import persist_run
 
         acfg = self.awesome_config
         if acfg is None:
             raise ValueError("built without from_awesome_config")
-        if not getattr(acfg, "run_name", None):
-            acfg.prepare()
+        if acfg.timestamp is None:  # run_name is always truthy — key on
+            acfg.prepare()         # the timestamp that makes it unique
         out = acfg.output_folder or os.path.join(
             acfg.runs_path, acfg.run_name)
-        os.makedirs(out, exist_ok=True)
-        save_yaml(acfg, os.path.join(out, "config.yaml"))
         tracker = Tracker()
         for k, v in (metrics or self.evaluate()).items():
             tracker.epoch_metric(k, v, "eval")
         tracker.tick_epoch()
-        tracker.save(os.path.join(out, "tracker.json"))
-        leaves, treedef = jax.tree_util.tree_flatten(self.params)
-        np.savez(os.path.join(out, "params.npz"),
-                 *[np.asarray(x) for x in leaves])
-        with open(os.path.join(out, "treedef.txt"), "w") as f:
-            f.write(str(treedef))
-        return out
+        return persist_run(out, acfg, tracker, self.params)
 
     def evaluate(self) -> Dict[str, float]:
         import jax

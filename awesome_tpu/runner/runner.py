@@ -29,6 +29,24 @@ from awesome_tpu.serialization.jsonconv import dynamic_import, save_yaml
 logger = logging.getLogger(__name__)
 
 
+def persist_run(out: str, config, tracker, params) -> str:
+    """The on-disk run layout the analytics layer scans
+    (`analytics/result_model.py`: config.yaml + tracker.json + params.npz
+    + treedef.txt) — ONE implementation shared by every runner."""
+    import jax
+
+    os.makedirs(out, exist_ok=True)
+    save_yaml(config, os.path.join(out, "config.yaml"))
+    tracker.save(os.path.join(out, "tracker.json"))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    np.savez(
+        os.path.join(out, "params.npz"), *[np.asarray(x) for x in leaves]
+    )
+    with open(os.path.join(out, "treedef.txt"), "w") as f:
+        f.write(str(treedef))
+    return out
+
+
 def seed_all(seed: int) -> None:
     """Seed python/numpy RNGs. JAX keys are derived explicitly from the
     config seed at each use site (functional randomness — the equivalent
@@ -472,7 +490,10 @@ class AwesomeRunner(Runner):
 
                     try:
                         feat = spectral_soft_segments(s.image)
-                    except Exception:
+                    except Exception as e:
+                        logger.warning(
+                            "spectral soft segments failed (%r); 'feat' "
+                            "falls back to RGB-PCA for this image", e)
                         feat = semantic_features(s.image)
                     if key is not None:
                         cache[key] = feat
@@ -1399,16 +1420,7 @@ class AwesomeRunner(Runner):
 
     def save_results(self) -> str:
         """Persist config, tracker, and the stacked params."""
-        import jax
-
-        os.makedirs(self.output_folder, exist_ok=True)
-        self.store_config()
-        self.tracker.save(os.path.join(self.output_folder, "tracker.json"))
-        leaves, treedef = jax.tree_util.tree_flatten(self.stacked_params)
-        np.savez(
-            os.path.join(self.output_folder, "params.npz"),
-            *[np.asarray(x) for x in leaves],
+        return persist_run(
+            self.output_folder, self.config, self.tracker,
+            self.stacked_params,
         )
-        with open(os.path.join(self.output_folder, "treedef.txt"), "w") as f:
-            f.write(str(treedef))
-        return self.output_folder

@@ -183,8 +183,12 @@ class SemanticSoftSegmentationExtractor:
         if self.proxy == "spectral" and min(image.shape[:2]) >= 3:
             try:
                 return spectral_soft_segments(image, self.n_components)
-            except Exception:
-                pass  # singular corner cases fall through to the pyramid
+            except Exception as e:  # singular Laplacian corner cases
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "spectral soft segments failed (%r); falling back to "
+                    "the pyramid-PCA proxy — 'feat' quality degrades", e)
         return self._pyramid_features(image)
 
     def _pyramid_features(self, image: np.ndarray) -> np.ndarray:

@@ -212,9 +212,17 @@ def from_jsonable(data: Any) -> Any:
             if rule.name == rule_name:
                 return rule.decode(data)
     if tag == "pickle":
-        return _pickle_decode(data)
+        try:
+            return _pickle_decode(data)
+        except Exception:
+            # foreign pickle payload (e.g. references awesome.*): keep
+            # the raw envelope instead of failing the whole load
+            return dict(data)
     if data.get("__enum__"):
-        return dynamic_import(tag)(from_jsonable(data["value"]))
+        try:
+            return dynamic_import(tag)(from_jsonable(data["value"]))
+        except (ImportError, AttributeError, ValueError, KeyError):
+            return from_jsonable(data["value"])
     try:
         cls = dynamic_import(tag)
     except (ImportError, AttributeError):

@@ -116,12 +116,13 @@ def build_one(path: str, seq_dir: str, runs_path: str):
         runner = AwesomeRunner(cfg)
     runner.build()
     # the built artifacts a training step would consume
-    checks = {
-        "has_params": getattr(runner, "stacked_params", None) is not None
+    has_params = (
+        getattr(runner, "stacked_params", None) is not None
         or getattr(runner, "params", None) is not None
-        or getattr(runner, "state", None) is not None,
-    }
-    return checks
+        or getattr(runner, "state", None) is not None
+    )
+    if not has_params:
+        raise RuntimeError("build() completed without initialized params")
 
 
 def main():

@@ -57,7 +57,10 @@ def main():
             cfg.runs_path = args.out
             cfg.name_experiment = name
             if args.epochs:
+                # pretrain-only configs budget the fit via pretrain_args
                 cfg.num_epochs = args.epochs
+                cfg.pretrain_args = dict(cfg.pretrain_args or {},
+                                         num_epochs=args.epochs)
             t0 = time.time()
             runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
             runner.build()
