@@ -213,8 +213,10 @@ def test_spatiotemporal_yaml_end_to_end(tmp_path):
 
 
 def test_noisy_spatiotemporal_yaml_noise_level(tmp_path):
-    """Noisy spatio-temporal family: 'noisy_percentage' maps to the label
-    flip probability and degrades the fit (never improves it)."""
+    """Noisy spatio-temporal family: 'noisy_percentage' is FRAME-level
+    unaries noise (reference awesome/model/noisy_path_connected_net.py:178-230
+    replaces the middle round(T*pct) frames' dense unaries with garbage),
+    NOT per-point label flipping — so it maps to frame_noise_percentage."""
     from awesome_tpu.runner.fbms_runner import FBMSRunner
     from tests.test_fbms import _write_sequence
 
@@ -223,10 +225,11 @@ def test_noisy_spatiotemporal_yaml_noise_level(tmp_path):
     cfg, extra = load_reference_config(os.path.join(base, name))
     seq = _write_sequence(tmp_path)
     runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
-    assert runner.config.flip_probability == 0.2
+    assert runner.config.frame_noise_percentage == 0.2
+    assert runner.config.flip_probability == 0.0
     cfg0, _ = load_reference_config(
         os.path.join(base, [f for f in sorted(os.listdir(base))
                             if f.endswith("np0.yaml")][0])
     )
     runner0 = FBMSRunner.from_awesome_config(cfg0, dataset_path=seq)
-    assert runner0.config.flip_probability == 0.0
+    assert runner0.config.frame_noise_percentage == 0.0
