@@ -35,3 +35,31 @@ def numerated_file_name(path: str) -> str:
     while os.path.exists(f"{base}_{n}{ext}"):
         n += 1
     return f"{base}_{n}{ext}"
+
+
+def latex_postprocessor(text: str,
+                        escape_underscores: bool = True,
+                        fix_bold: bool = True,
+                        fix_underline: bool = True,
+                        plain_rules: bool = True) -> str:
+    """Repair the LaTeX pandas emits for styled metric tables so it
+    compiles standalone (spec: `awesome/util/format.py:194-232`; used by
+    the evaluation notebooks on ``ResultComparison.to_latex`` output).
+
+    - escape bare ``_`` between word characters (pandas leaves them raw),
+    - rewrite the styler's ``\\bfseries tok`` / ``\\text-decorationunderline
+      tok`` prefixes into proper ``\\textbf{tok}`` / ``\\underline{tok}``,
+    - downgrade booktabs rules to ``\\hline`` for booktabs-free preambles.
+    """
+    if escape_underscores:
+        text = re.sub(r"(?<=[\w])_(?=[\w])", r"\\_", text)
+    token = r"(?P<tok>[A-Za-z0-9.\\_+-]+)"
+    if fix_bold:
+        text = re.sub(r"\\bfseries %s " % token, r"\\textbf{\g<tok>}", text)
+    if fix_underline:
+        text = re.sub(r"\\text-decorationunderline %s " % token,
+                      r"\\underline{\g<tok>}", text)
+    if plain_rules:
+        for rule in ("toprule", "midrule", "bottomrule"):
+            text = text.replace("\\" + rule, "\\hline")
+    return text

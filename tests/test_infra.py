@@ -188,6 +188,20 @@ def test_format_helpers(tmp_path):
     assert numerated_file_name(p).endswith("f_1.txt")
 
 
+def test_latex_postprocessor():
+    from awesome_tpu.utils.format import latex_postprocessor
+
+    raw = ("\\toprule\nmodel_name & \\bfseries 0.906 & "
+           "\\text-decorationunderline 0.871 \\\\\n\\bottomrule")
+    out = latex_postprocessor(raw)
+    assert "model\\_name" in out
+    assert "\\textbf{0.906}" in out
+    assert "\\underline{0.871}" in out
+    assert "rule" not in out and out.count("\\hline") == 2
+    # already-escaped underscores are not double-escaped
+    assert latex_postprocessor("a\\_b") == "a\\_b"
+
+
 def test_serialization_function_rule_roundtrips():
     """Module-level functions serialize by dotted reference.
     Spec: `awesome/serialization/rules` function rule."""
