@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from awesome_tpu.nn.flows import NormalizingFlow1D
 from awesome_tpu.nn.icnn import ConvexNextNet
 from awesome_tpu.nn.linear import Linear
-from awesome_tpu.nn.module import Module
+from awesome_tpu.nn.module import Module, matmul_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,20 +75,27 @@ class ConvexDiffeomorphismNet(Module):
             "convex": self.convex.init(k3),
         }
 
-    def deformation(self, params, x):
-        h = x @ params["linear"]["w"] + params["linear"]["b"]
-        return self.flow.apply(params["flow"], h)
+    def deformation(self, params, x, precision: Optional[str] = "high"):
+        # 'high' matmul precision by default for roundtrip-consistent eval
+        # on TPU; the fit-hot apply path inherits ambient precision (see
+        # nn.module.matmul_precision).
+        with matmul_precision(precision):
+            h = x @ params["linear"]["w"] + params["linear"]["b"]
+            return self.flow.apply(params["flow"], h)
 
     def apply(self, params, x):
-        return self.convex.apply(params["convex"], self.deformation(params, x))
+        return self.convex.apply(
+            params["convex"], self.deformation(params, x, precision=None)
+        )
 
-    def inverse(self, params, y):
-        h = self.flow.inverse(params["flow"], y)
-        # invert the full linear layer
-        w = params["linear"]["w"]  # (in, in), forward is x @ w + b
-        b = params["linear"]["b"]
-        w_inv = jnp.linalg.inv(w)
-        return (h - b) @ w_inv
+    def inverse(self, params, y, precision: Optional[str] = "high"):
+        with matmul_precision(precision):
+            h = self.flow.inverse(params["flow"], y)
+            # invert the full linear layer
+            w = params["linear"]["w"]  # (in, in), forward is x @ w + b
+            b = params["linear"]["b"]
+            w_inv = jnp.linalg.inv(w)
+            return (h - b) @ w_inv
 
     def enforce_convexity(self, params):
         return dict(params, convex=self.convex.enforce_convexity(params["convex"]))

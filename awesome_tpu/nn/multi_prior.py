@@ -138,12 +138,12 @@ class MultipleObjectsPathConnectedNet(MultiPriorModule):
     engine: children stack along the image*object axis.
     """
 
-    def deformation(self, params, x, index: int = 0):
+    def deformation(self, params, x, index: int = 0, precision="high"):
         return self.child.deformation(
-            T.tree_select(params["children"], index), x
+            T.tree_select(params["children"], index), x, precision=precision
         )
 
-    def inverse(self, params, y, index: int = 0):
+    def inverse(self, params, y, index: int = 0, precision="high"):
         return self.child.inverse(
-            T.tree_select(params["children"], index), y
+            T.tree_select(params["children"], index), y, precision=precision
         )

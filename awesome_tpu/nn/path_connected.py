@@ -29,7 +29,7 @@ from awesome_tpu.core import grids as G
 from awesome_tpu.nn.flows import NormalizingFlow1D, RealNVPFlow
 from awesome_tpu.nn.icnn import ConvexNextNet
 from awesome_tpu.nn.linear import Linear, PerChannelAffine
-from awesome_tpu.nn.module import Module
+from awesome_tpu.nn.module import Module, matmul_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,40 +55,50 @@ class PathConnectedNet(Module):
             "convex": self.convex_net.init(k3),
         }
 
-    def deformation(self, params, x):
+    def deformation(self, params, x, precision: Optional[str] = "high"):
         """Translation + flow part (the learned diffeomorphism).
 
         The norm wraps the flow NormNet-style: normalize input, run flow,
         *de-normalize* output (`awesome/model/norm_net.py:17-27`).
         Spec: `awesome/model/path_connected_net.py:127-131` ``get_deformation``.
+
+        ``precision``: matmul precision for the flow math — defaults to
+        'high' so direct eval (invertibility checks, path extraction,
+        re-targeting) is roundtrip-consistent on TPU; the fit-hot
+        :meth:`apply` path passes ``None`` (ambient/default precision —
+        measured quality parity, 27% faster; see
+        ``nn.module.matmul_precision``).
         """
-        affine = PerChannelAffine(self.in_channels)
-        x = affine.apply(params["linear"], x)
-        if self.norm is not None:
-            x = self.norm.transform(x)
-        x = self.flow_net.apply(params["flow"], x)
-        if self.norm is not None:
-            x = self.norm.inverse_transform(x)
-        return x
+        with matmul_precision(precision):
+            affine = PerChannelAffine(self.in_channels)
+            x = affine.apply(params["linear"], x)
+            if self.norm is not None:
+                x = self.norm.transform(x)
+            x = self.flow_net.apply(params["flow"], x)
+            if self.norm is not None:
+                x = self.norm.inverse_transform(x)
+            return x
 
     def apply(self, params, x):
-        xd = self.deformation(params, x)
+        xd = self.deformation(params, x, precision=None)
         return self.convex_net.apply(params["convex"], xd)
 
-    def inverse(self, params, y):
+    def inverse(self, params, y, precision: Optional[str] = "high"):
         """Analytic inverse of the deformation.
 
         Spec: `awesome/model/path_connected_net.py:107-125` with the
         NormNet inverse convention (`awesome/model/norm_net.py:31-41`:
-        normalize, invert flow, de-normalize).
+        normalize, invert flow, de-normalize). Runs at 'high' matmul
+        precision by default — see :meth:`deformation`.
         """
-        if self.norm is not None:
-            y = self.norm.transform(y)
-        x = self.flow_net.inverse(params["flow"], y)
-        if self.norm is not None:
-            x = self.norm.inverse_transform(x)
-        affine = PerChannelAffine(self.in_channels)
-        return affine.inverse(params["linear"], x)
+        with matmul_precision(precision):
+            if self.norm is not None:
+                y = self.norm.transform(y)
+            x = self.flow_net.inverse(params["flow"], y)
+            if self.norm is not None:
+                x = self.norm.inverse_transform(x)
+            affine = PerChannelAffine(self.in_channels)
+            return affine.inverse(params["linear"], x)
 
     def enforce_convexity(self, params):
         """Project only the ICNN part — the flow stays unconstrained.

@@ -249,9 +249,15 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
 
     def mm(a, b):
         """All matmuls route here: optional bf16 inputs (2x MXU packing on
-        the K dimension — ICNN K=130 halves its passes), f32 accumulation."""
+        the K dimension — ICNN K=130 halves its passes), f32 accumulation.
+        Precision is PINNED to DEFAULT: under an ambient
+        ``jax.default_matmul_precision('highest')`` Mosaic would expand
+        every dot into f32-emulation passes and overflow scoped VMEM
+        (measured: 47.6M > 16M limit at tile 4096); the kernel's accuracy
+        story is the f32 accumulate + f32 master params, not pass count."""
         return jnp.dot(a.astype(cdt), b.astype(cdt),
-                       preferred_element_type=f32)
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.DEFAULT)
 
     # NOTE: bf16-casting ONLY the weight-gradient matmuls (K = tile_n,
     # where bf16 K-packing halves the MXU passes) was measured SLOWER at

@@ -19,7 +19,10 @@ Kernel layout notes (see /opt/skills/guides/pallas_guide.md):
 - TRANSPOSED activations (C, TILE_N): channels on sublanes, points on
   lanes (row layout pads 2-wide inputs to 128 lanes -> 64x VMEM blowup),
 - weights passed whole (no blocking) in VMEM,
-- matmuls via jnp.dot with preferred_element_type=float32 (MXU),
+- matmuls via jnp.dot with preferred_element_type=float32 (MXU) and
+  precision pinned to DEFAULT (an ambient 'highest' context would make
+  Mosaic emulate f32 passes and overflow scoped VMEM — see
+  pallas_flagship.mm),
 - grid = ceil(N / TILE_N); padding handles the ragged tail.
 
 Measured (TPU v5 lite, H=130, 2 hidden layers, N=154k): fused 1.22 ms vs
@@ -67,7 +70,8 @@ def _icnn_kernel(n_layers: int, x_ref, w_in_ref, b_in_ref,
     layer_refs = refs[:-1]
     x = x_ref[...]  # (2, T)
     h = jnp.maximum(
-        jnp.dot(w_in_ref[...], x, preferred_element_type=jnp.float32)
+        jnp.dot(w_in_ref[...], x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         + b_in_ref[...],
         0.0,
     )
@@ -76,18 +80,22 @@ def _icnn_kernel(n_layers: int, x_ref, w_in_ref, b_in_ref,
         b_ln = layer_refs[3 * i + 1][...]
         w_sk = layer_refs[3 * i + 2][...]
         h = jnp.maximum(
-            jnp.dot(w_ln, h, preferred_element_type=jnp.float32)
+            jnp.dot(w_ln, h, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
             + b_ln
-            + jnp.dot(w_sk, x, preferred_element_type=jnp.float32),
+            + jnp.dot(w_sk, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT),
             0.0,
         )
     w_out = layer_refs[3 * n_layers][...]
     b_out = layer_refs[3 * n_layers + 1][...]
     w_osk = layer_refs[3 * n_layers + 2][...]
     out_ref[...] = (
-        jnp.dot(w_out, h, preferred_element_type=jnp.float32)
+        jnp.dot(w_out, h, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         + b_out
-        + jnp.dot(w_osk, x, preferred_element_type=jnp.float32)
+        + jnp.dot(w_osk, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
     )
 
 
@@ -189,7 +197,8 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
     # ---- recompute forward, keeping activations (all VMEM) ----
     w_in, b_in = w_refs[0][...], w_refs[1][...]
     pre = []
-    h = jnp.dot(w_in, x, preferred_element_type=jnp.float32) + b_in
+    h = jnp.dot(w_in, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT) + b_in
     pre.append(h)
     h = jnp.maximum(h, 0.0)
     acts = [h]
@@ -198,9 +207,11 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
         b_ln = w_refs[3 + 3 * i][...]
         w_sk = w_refs[4 + 3 * i][...]
         z = (
-            jnp.dot(w_ln, h, preferred_element_type=jnp.float32)
+            jnp.dot(w_ln, h, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
             + b_ln
-            + jnp.dot(w_sk, x, preferred_element_type=jnp.float32)
+            + jnp.dot(w_sk, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         )
         pre.append(z)
         h = jnp.maximum(z, 0.0)
@@ -219,13 +230,17 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
     # out layer: y = w_out @ h_last + b_out + w_osk @ x
     h_last = acts[-1]
     acc(dw_refs[2 + 3 * n_layers],
-        jnp.dot(g, h_last.T, preferred_element_type=jnp.float32))  # dW_out
+        jnp.dot(g, h_last.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT))  # dW_out
     acc(dw_refs[3 + 3 * n_layers],
         jnp.sum(g, axis=1, keepdims=True))  # db_out
     acc(dw_refs[4 + 3 * n_layers],
-        jnp.dot(g, x.T, preferred_element_type=jnp.float32))  # dW_osk
-    dh = jnp.dot(w_out.T, g, preferred_element_type=jnp.float32)
-    dx = jnp.dot(w_osk.T, g, preferred_element_type=jnp.float32)
+        jnp.dot(g, x.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT))  # dW_osk
+    dh = jnp.dot(w_out.T, g, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+    dx = jnp.dot(w_osk.T, g, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
 
     for i in reversed(range(n_layers)):
         dz = dh * (pre[i + 1] > 0.0)
@@ -233,17 +248,23 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
         w_sk = w_refs[4 + 3 * i][...]
         h_prev = acts[i]
         acc(dw_refs[2 + 3 * i],
-            jnp.dot(dz, h_prev.T, preferred_element_type=jnp.float32))
+            jnp.dot(dz, h_prev.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT))
         acc(dw_refs[3 + 3 * i], jnp.sum(dz, axis=1, keepdims=True))
         acc(dw_refs[4 + 3 * i],
-            jnp.dot(dz, x.T, preferred_element_type=jnp.float32))
-        dh = jnp.dot(w_ln.T, dz, preferred_element_type=jnp.float32)
-        dx = dx + jnp.dot(w_sk.T, dz, preferred_element_type=jnp.float32)
+            jnp.dot(dz, x.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT))
+        dh = jnp.dot(w_ln.T, dz, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+        dx = dx + jnp.dot(w_sk.T, dz, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
 
     dz0 = dh * (pre[0] > 0.0)
-    acc(dw_refs[0], jnp.dot(dz0, x.T, preferred_element_type=jnp.float32))
+    acc(dw_refs[0], jnp.dot(dz0, x.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT))
     acc(dw_refs[1], jnp.sum(dz0, axis=1, keepdims=True))
-    dx = dx + jnp.dot(w_in.T, dz0, preferred_element_type=jnp.float32)
+    dx = dx + jnp.dot(w_in.T, dz0, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
     dx_ref[...] = dx
 
 
