@@ -45,7 +45,8 @@ class AwesomeDataset:
         dimension: str = "2d",
         supervision_mode: str = "weakly",
         scribble_percentage: float = 1.0,
-        feature_mode: str = "xy",  # 'xy' | 'distance_scribble' | 'edge'
+        # 'xy' | 'distance_scribble' | 'gauss_bubbles' | 'edge'
+        feature_mode: str = "xy",
         temporal: bool = False,
         split_seed: int = 42,
         dtype=np.float32,
@@ -96,6 +97,14 @@ class AwesomeDataset:
             scribble[s.bg_mask] = 0
             scribble[s.fg_mask] = 1
             scribble[~(s.bg_mask | s.fg_mask)] = 2
+        if self.feature_mode == "gauss_bubbles":
+            # reference draws fresh bubbles per access (transformator.py:
+            # 85-110, unseeded torch.randint); we seed per image for the
+            # repo's determinism convention
+            from awesome_tpu.data.image_sample import gauss_bubbles
+
+            rng = np.random.default_rng((self.split_seed, index))
+            return gauss_bubbles(img.shape[:2], rng=rng)
         return assemble_channels(
             img, self.feature_mode, scribble=scribble, t=t, t_max=t_max
         )

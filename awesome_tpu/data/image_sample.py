@@ -124,8 +124,10 @@ def assemble_channels(
 ) -> np.ndarray:
     """Build the positional feature encoding (H, W, C).
 
-    xy_mode: 'xy' (plain grid) or 'distance_scribble' (per-class EDT of the
-    scribble, `awesome/dataset/transformator.py:63-83`).
+    xy_mode: 'xy' (plain grid), 'distance_scribble' (per-class EDT of the
+    scribble, `awesome/dataset/transformator.py:63-83`), or
+    'gauss_bubbles' (random Gaussian bump channels,
+    `awesome/dataset/transformator.py:85-110`).
     """
     h, w = image.shape[:2]
     if xy_mode == "xy":
@@ -145,4 +147,43 @@ def assemble_channels(
             )
             feats.append(dist.astype(np.float32))
         return np.stack(feats, axis=-1)
+    if xy_mode == "gauss_bubbles":
+        return gauss_bubbles((h, w))
     raise ValueError(f"Unknown xy_mode {xy_mode}")
+
+
+def gauss_bubbles(
+    shape,
+    n_bubbles: int = 20,
+    kernel_size: int = 101,
+    std: float = 3.0,
+    scale: float = 500.0,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Random Gaussian-bump positional channels (H, W, n_bubbles).
+
+    Behavior port of `awesome/dataset/transformator.py:85-118`
+    (``gauss_bubbles`` + ``gkern``): each channel is zero except for one
+    ``kernel_size``-wide normalized Gaussian bump (CDF-difference outer
+    product, scaled by 500) dropped at a uniformly random interior
+    location. The reference hardcodes no=20/101/std 3; we expose them.
+    """
+    from scipy import stats
+
+    h, w = shape
+    half = kernel_size // 2
+    if h < kernel_size + 1 or w < kernel_size + 1:
+        raise ValueError(
+            f"image {shape} smaller than gauss_bubbles kernel {kernel_size}"
+        )
+    rng = rng or np.random.default_rng()
+    xs = np.linspace(-std, std, kernel_size + 1)
+    k1 = np.diff(stats.norm.cdf(xs))
+    kern = np.outer(k1, k1)
+    kern = (kern / kern.sum() * scale).astype(np.float32)
+    out = np.zeros((h, w, n_bubbles), np.float32)
+    for i in range(n_bubbles):
+        cy = int(rng.integers(half, h - half - 1))
+        cx = int(rng.integers(half, w - half - 1))
+        out[cy - half:cy + half + 1, cx - half:cx + half + 1, i] = kern
+    return out

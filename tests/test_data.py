@@ -129,6 +129,32 @@ def test_assemble_channels_modes():
     assert ds[0, 0, 0] > 0.0  # but positive distance to class 0
 
 
+def test_gauss_bubbles_channels():
+    """Behavior of `awesome/dataset/transformator.py:85-118`: each channel
+    is one normalized Gaussian bump (sum = scale) at a random interior
+    location; deterministic under a seeded rng."""
+    from awesome_tpu.data.image_sample import gauss_bubbles
+
+    rng = np.random.default_rng(7)
+    gb = gauss_bubbles((128, 140), n_bubbles=5, kernel_size=21, std=3.0,
+                       rng=rng)
+    assert gb.shape == (128, 140, 5)
+    # each channel integrates to the scale factor (normalized kernel * 500)
+    np.testing.assert_allclose(gb.sum(axis=(0, 1)), 500.0, rtol=1e-4)
+    # bump peak is at the channel's center, kernel is symmetric around it
+    ch = gb[..., 0]
+    cy, cx = np.unravel_index(np.argmax(ch), ch.shape)
+    assert ch[cy - 3, cx] == ch[cy + 3, cx]
+    assert ch[cy, cx - 3] == ch[cy, cx + 3]
+    # deterministic under the same seed
+    gb2 = gauss_bubbles((128, 140), n_bubbles=5, kernel_size=21, std=3.0,
+                        rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(gb, gb2)
+    # reference hardcodes kernel 101: images must fit it
+    with pytest.raises(ValueError):
+        gauss_bubbles((64, 64))
+
+
 def test_subdivisible_subset_view():
     """Subset view with two-way index remapping + split restriction.
     Spec: `awesome/dataset/subdivisible_dataset.py:13-124`."""
