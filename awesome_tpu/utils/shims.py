@@ -86,3 +86,14 @@ def temporary_attrs(obj: Any, **attrs: Dict[str, Any]):
     finally:
         for target, name, old in reversed(saved):
             setattr(target, name, old)
+
+
+def fourier(x: jnp.ndarray) -> jnp.ndarray:
+    """Shifted, forward-normalized 2D FFT (`awesome/util/torch.py:74-87`;
+    imported by the reference agent for spectrum analysis)."""
+    return jnp.fft.fftshift(jnp.fft.fft2(x, norm="forward"))
+
+
+def inverse_fourier(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`fourier` (`awesome/util/torch.py:90-103`)."""
+    return jnp.fft.ifft2(jnp.fft.ifftshift(x), norm="forward")

@@ -101,3 +101,17 @@ def test_augment_preserves_mask_alignment():
     fg = scr == 2
     if fg.sum() > 0:
         assert (gt[fg] < 0.5).mean() > 0.7
+
+
+def test_fourier_roundtrip_and_shift():
+    import numpy as np
+
+    from awesome_tpu.utils.shims import fourier, inverse_fourier
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 16)).astype(np.float32)
+    spec = fourier(x)
+    # forward norm: DC bin (centered by fftshift) equals the mean
+    np.testing.assert_allclose(complex(spec[4, 8]), x.mean(), atol=1e-6)
+    back = inverse_fourier(spec)
+    np.testing.assert_allclose(np.asarray(back.real), x, atol=1e-5)
