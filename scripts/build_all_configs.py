@@ -38,6 +38,9 @@ def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32,
     from PIL import Image
 
     rng = np.random.default_rng(0)
+    # constant total traversal: 3 px/frame for the standard short replicas,
+    # scaled down for longer sequences so the disk stays in frame
+    vel = min(3.0, 27.0 / max(n_frames - 1, 1))
     seq = os.path.join(root, "cars99")
     os.makedirs(os.path.join(seq, "GroundTruth"), exist_ok=True)
     os.makedirs(os.path.join(seq, "tracks", "multicut"), exist_ok=True)
@@ -53,7 +56,7 @@ def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32,
             else:
                 x0, y0 = rng.uniform(0, w - 1), rng.uniform(0, h - 1)
             pts = [
-                (min(x0 + (3 * f if oid == 1 else 0), w - 1), y0, f)
+                (min(x0 + (vel * f if oid == 1 else 0), w - 1), y0, f)
                 for f in range(n_frames)
             ]
             trajs.append((oid, pts))
@@ -66,12 +69,12 @@ def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32,
     yy, xx = np.mgrid[0:h, 0:w]
     for i in range(n_frames):
         img = np.zeros((h, w, 3), np.uint8) + 30
-        img[((yy - 12) ** 2 + (xx - (7 + 3 * i)) ** 2) <= 36] = 200
+        img[((yy - 12) ** 2 + (xx - (7 + vel * i)) ** 2) <= 36] = 200
         Image.fromarray(img).save(os.path.join(seq, f"cars99_{i:02d}.png"))
     gt_frames = (0, n_frames - 1)
     for i in gt_frames:
         gt = np.where(
-            ((yy - 12) ** 2 + (xx - (7 + 3 * i)) ** 2) <= 36, 255, 0
+            ((yy - 12) ** 2 + (xx - (7 + vel * i)) ** 2) <= 36, 255, 0
         ).astype(np.uint8)
         Image.fromarray(gt).save(
             os.path.join(seq, "GroundTruth", f"gt_{i:02d}.png"))

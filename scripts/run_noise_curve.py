@@ -34,6 +34,10 @@ def main():
     p.add_argument("--epochs", type=int, default=None,
                    help="override pretrain steps (default: the YAML's)")
     p.add_argument("--yaml-glob", default="*.yaml")
+    p.add_argument("--n-frames", type=int, default=10,
+                   help="replica sequence length (longer sequences probe "
+                        "the cliff shape: 30%% of a long sequence is a "
+                        "smaller contiguous fraction of the tube)")
     args = p.parse_args()
 
     from build_all_configs import write_sequence
@@ -49,7 +53,8 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     results = []
     with tempfile.TemporaryDirectory() as tmp:
-        seq = write_sequence(tmp, n_frames=10, h=48, w=64, n_fg=60, n_bg=140)
+        seq = write_sequence(tmp, n_frames=args.n_frames, h=48, w=64,
+                             n_fg=60, n_bg=140)
         for i, y in enumerate(yamls):
             name = os.path.splitext(os.path.basename(y))[0]
             cfg, extra = load_reference_config(y)
