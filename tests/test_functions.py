@@ -86,3 +86,20 @@ def test_save_result_and_gif(tmp_path):
         assert os.path.exists(p)
     gif = write_gif([img, 1 - img], str(tmp_path / "anim.gif"))
     assert os.path.exists(gif)
+
+
+def test_ensemble_logits_filters_failed_fits():
+    """`runner/teaser.py:ensemble_logits`: mean over loss-valid restarts;
+    restarts with tail > 1.5x min are excluded (measured: wrong lattice
+    phase-locks / collapsed fits)."""
+    import numpy as np
+
+    from awesome_tpu.runner.teaser import ensemble_logits
+
+    good1 = np.full((4, 4), 2.0)
+    good2 = np.full((4, 4), 4.0)
+    bad = np.full((4, 4), -100.0)
+    out = ensemble_logits([good1, good2, bad], tails=[1.0, 1.2, 5.0])
+    np.testing.assert_allclose(out, 3.0)  # bad fit excluded
+    out_all = ensemble_logits([good1, good2, bad], tails=[1.0, 1.2, 1.3])
+    np.testing.assert_allclose(out_all, (2.0 + 4.0 - 100.0) / 3)
