@@ -97,16 +97,11 @@ class AwesomeDataset:
             scribble[s.bg_mask] = 0
             scribble[s.fg_mask] = 1
             scribble[~(s.bg_mask | s.fg_mask)] = 2
-        if self.feature_mode == "gauss_bubbles":
-            # reference draws fresh bubbles per access (transformator.py:
-            # 85-110, unseeded torch.randint); we seed per image for the
-            # repo's determinism convention
-            from awesome_tpu.data.image_sample import gauss_bubbles
-
-            rng = np.random.default_rng((self.split_seed, index))
-            return gauss_bubbles(img.shape[:2], rng=rng)
+        # rng only used by 'gauss_bubbles' (reference redraws per access,
+        # unseeded; we seed per image for the determinism convention)
         return assemble_channels(
-            img, self.feature_mode, scribble=scribble, t=t, t_max=t_max
+            img, self.feature_mode, scribble=scribble, t=t, t_max=t_max,
+            rng=np.random.default_rng((self.split_seed, index)),
         )
 
     def _target_2d(self, s, scribbled) -> np.ndarray:

@@ -121,6 +121,7 @@ def assemble_channels(
     scribble: Optional[np.ndarray] = None,
     t: Optional[float] = None,
     t_max: Optional[float] = None,
+    rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
     """Build the positional feature encoding (H, W, C).
 
@@ -148,7 +149,10 @@ def assemble_channels(
             feats.append(dist.astype(np.float32))
         return np.stack(feats, axis=-1)
     if xy_mode == "gauss_bubbles":
-        return gauss_bubbles((h, w))
+        # reference draws fresh bubbles per access (unseeded); pass a
+        # seeded rng for reproducibility (t/t_max don't apply — the
+        # reference's bubble encoding is 2d-only, transformator.py:17-18)
+        return gauss_bubbles((h, w), rng=rng)
     raise ValueError(f"Unknown xy_mode {xy_mode}")
 
 

@@ -117,8 +117,12 @@ class ScribbleImage:
             self.clean_image = self.image
         from awesome_tpu.data.image_sample import assemble_channels
 
+        # seeded rng: only the 'gauss_bubbles' mode draws randomness, and
+        # the repo convention is deterministic feature encodings (the
+        # reference redraws bubbles per access, unseeded)
         self.xy = assemble_channels(
-            self.image, self.xy_mode, scribble=self.scribble
+            self.image, self.xy_mode, scribble=self.scribble,
+            rng=np.random.default_rng(self.image.shape[:2]),
         )
         self.xy_clean = assemble_channels(self.image, "xy")
         if self.feat is None:

@@ -53,11 +53,14 @@ def latex_postprocessor(text: str,
     """
     if escape_underscores:
         text = re.sub(r"(?<=[\w])_(?=[\w])", r"\\_", text)
-    token = r"(?P<tok>[A-Za-z0-9.\\_+-]+)"
+    # token = the styled cell value; ends at whitespace, '&', '\' (row
+    # terminator '\\') or end-of-string — pandas pads a trailing space
+    # mid-row but not before a row terminator
+    token = r"(?P<tok>[A-Za-z0-9.\\_+-]*[A-Za-z0-9.+-]) ?(?=[\s&\\]|$)"
     if fix_bold:
-        text = re.sub(r"\\bfseries %s " % token, r"\\textbf{\g<tok>}", text)
+        text = re.sub(r"\\bfseries %s" % token, r"\\textbf{\g<tok>}", text)
     if fix_underline:
-        text = re.sub(r"\\text-decorationunderline %s " % token,
+        text = re.sub(r"\\text-decorationunderline %s" % token,
                       r"\\underline{\g<tok>}", text)
     if plain_rules:
         for rule in ("toprule", "midrule", "bottomrule"):

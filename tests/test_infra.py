@@ -200,6 +200,11 @@ def test_latex_postprocessor():
     assert "rule" not in out and out.count("\\hline") == 2
     # already-escaped underscores are not double-escaped
     assert latex_postprocessor("a\\_b") == "a\\_b"
+    # styled token directly before the row terminator (no padding space)
+    out2 = latex_postprocessor("a & \\bfseries 0.906\\\\")
+    assert out2 == "a & \\textbf{0.906}\\\\"
+    # ...and at end of string
+    assert latex_postprocessor("\\bfseries last") == "\\textbf{last}"
 
 
 def test_serialization_function_rule_roundtrips():
