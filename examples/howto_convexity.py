@@ -7,8 +7,11 @@ image, then fit a *provably convex* segmentation to it with an
 input-convex coordinate network. Occlusions get filled in because the
 representable masks are exactly the convex ones.
 
-Runs offline on a synthetic occluded-tomato scene (pass --image for a
-real photo). Writes overlay PNGs next to the script.
+Defaults to the reference's own shipped how-to image
+(`notebooks/how_to/data/cocktail-tomatoes.jpg`, the photo the notebook's
+cells 2-11 run on) when present, else a synthetic occluded-tomato scene;
+pass --image for any other photo. Writes overlay PNGs next to the
+script.
 """
 import argparse
 import os
@@ -19,7 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+REFERENCE_IMG = "/root/reference/notebooks/how_to/data/cocktail-tomatoes.jpg"
+
+
 def load_or_make_image(path, down_scale=2):
+    if path is None and os.path.exists(REFERENCE_IMG):
+        # the reference's own shipped how-to image (convexity.ipynb cell 2);
+        # the red-direction threshold below is the notebook's cell 5 and
+        # targets exactly this photo's tomato.
+        path = REFERENCE_IMG
     if path:
         from PIL import Image
 
