@@ -147,6 +147,16 @@ class ResultModel:
             return best[1] if best else None
         return s.last
 
+    def metric_at_epoch(self, name: str, epoch: int, mode: str = "eval",
+                        scope: str = "epoch") -> Optional[float]:
+        """Metric value recorded at a specific epoch — the
+        fbms_eval_icml notebook's Baseline(0)/Joint(15) indexing."""
+        t = self.tracker
+        if t is None:
+            return None
+        s = t.series.get((name, scope, mode))
+        return s.at(epoch) if s else None
+
     def metric_best_epoch(self, name: str, mode: str = "eval",
                           scope: str = "epoch",
                           maximize: bool = True):
@@ -156,6 +166,29 @@ class ResultModel:
             return None
         s = t.series.get((name, scope, mode))
         return s.best(maximize) if s else None
+
+    def get_tracked_metrics(self, mode: Optional[str] = None,
+                            scope: str = "epoch") -> List[str]:
+        """Names of every tracked metric series (the read_results
+        notebook's ``result_model.get_tracked_metrics()``,
+        `notebooks/how_to/read_results.ipynb` cell 4)."""
+        t = self.tracker
+        if t is None:
+            return []
+        return sorted({
+            name for (name, sc, m) in t.series
+            if sc == scope and (mode is None or m == mode)
+        })
+
+    def metric_series(self, name: str, mode: str = "eval",
+                      scope: str = "epoch"):
+        """(epochs, values) of one tracked series (the notebook's
+        ``tracker.metrics[...].values`` view)."""
+        t = self.tracker
+        if t is None:
+            return None
+        s = t.series.get((name, scope, mode))
+        return (list(s.steps), list(s.values)) if s else None
 
     def metrics(self, mode: str = "eval", selection: str = "last",
                 maximize: bool = True) -> Dict[str, float]:
@@ -260,6 +293,54 @@ class ResultComparison:
             and r.metric(metric, mode) is not None
         ]
         return sorted(pts)
+
+    def plot_metric(self, name: str, mode: str = "eval",
+                    scope: str = "epoch"):
+        """Epoch-curve line chart across runs (the read_results
+        notebook's ``comp.plot_metric``,
+        `notebooks/how_to/read_results.ipynb` cell 9). Returns the mpl
+        Figure (Agg-safe; caller saves/shows)."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for r in self.results:
+            s = r.metric_series(name, mode, scope)
+            if s:
+                ax.plot(s[0], s[1], marker="o", markersize=3,
+                        label=r.name)
+        ax.set_xlabel(scope)
+        ax.set_ylabel(name)
+        ax.legend(fontsize=7)
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        return fig
+
+    def plot_metric_bar(self, name: str, mode: str = "eval",
+                        selection: str = "last", maximize: bool = True):
+        """Final/best-value bar chart across runs (the notebook's
+        ``comp.plot_metric_bar``)."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        labels, vals = [], []
+        for r in self.results:
+            v = r.metric(name, mode, selection=selection,
+                         maximize=maximize)
+            if v is not None:
+                labels.append(r.name)
+                vals.append(v)
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.bar(range(len(vals)), vals)
+        ax.set_xticks(range(len(vals)))
+        ax.set_xticklabels(labels, rotation=30, ha="right", fontsize=7)
+        ax.set_ylabel(f"{name} ({selection})")
+        fig.tight_layout()
+        return fig
 
     def to_markdown(self, **kwargs) -> str:
         return self.table(**kwargs).to_markdown(index=False)

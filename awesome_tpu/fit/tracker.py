@@ -33,6 +33,16 @@ class MetricSeries:
     def last(self) -> Optional[float]:
         return self.values[-1] if self.values else None
 
+    def at(self, step: int) -> Optional[float]:
+        """Value recorded at exactly ``step`` (None when absent) — the
+        notebook's epoch-indexed metric lookup
+        (`notebooks/fbms_eval_icml.ipynb` index_mapping {0: Baseline,
+        15: Joint})."""
+        try:
+            return self.values[self.steps.index(int(step))]
+        except ValueError:
+            return None
+
     def best(self, maximize: bool) -> Optional[Tuple[int, float]]:
         if not self.values:
             return None

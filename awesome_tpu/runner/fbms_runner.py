@@ -161,7 +161,8 @@ class FBMSRunner:
         runner.awesome_config = cfg
         return runner
 
-    def train_joint_from_config(self, num_epochs=None, batch_size=None):
+    def train_joint_from_config(self, num_epochs=None, batch_size=None,
+                                eval_epoch0=False):
         """Run the joint experiment with the imported reference settings
         (epochs / lr / batch size / seg training mode / loss alpha+beta /
         prior on-off — ``use_prior_model: false`` is the refit-unet family,
@@ -197,6 +198,8 @@ class FBMSRunner:
                 watchdog_lr=self._watchdog_lr_from_config(cfg),
             )
         return self.train_joint(
+            eval_epoch0=eval_epoch0,
+            eval_crf=bool(cfg.compute_crf_with_metrics),
             num_epochs=num_epochs or cfg.num_epochs,
             lr=float(cfg.optimizer_args.get("lr", 1e-4)),
             prior_lr=float(cfg.optimizer_args.get("lr", 1e-4)),
@@ -533,6 +536,28 @@ class FBMSRunner:
         tracker.tick_epoch()
         return persist_run(out, acfg, tracker, self.params)
 
+    def save_joint_results(self, out: Optional[str] = None) -> str:
+        """Persist a finished JOINT run (config.yaml + the joint tracker's
+        full eval-curve series + joint params) in the ResultModel layout —
+        what the reference's run dirs carry into
+        `notebooks/fbms_eval_icml.ipynb` (ResultModel.from_path)."""
+        from awesome_tpu.runner.runner import persist_run
+
+        acfg = self.awesome_config
+        if acfg is None:
+            raise ValueError("built without from_awesome_config")
+        if getattr(self, "joint_tracker", None) is None:
+            raise ValueError("no joint training has run")
+        if acfg.timestamp is None:
+            acfg.prepare()
+        out = out or acfg.output_folder or os.path.join(
+            acfg.runs_path, acfg.run_name)
+        return persist_run(
+            out, acfg, self.joint_tracker,
+            {"seg": self.joint_state.seg_params,
+             "prior": self.joint_state.prior_params},
+        )
+
     def evaluate(self) -> Dict[str, float]:
         import jax
         import jax.numpy as jnp
@@ -670,8 +695,10 @@ class FBMSRunner:
             ),
         }
 
-    def evaluate_joint(self) -> Dict[str, float]:
-        """Seg + prior IoU of the trained joint model on GT frames.
+    def evaluate_joint(self, compute_crf: bool = False) -> Dict[str, float]:
+        """Seg + prior IoU + pixel accuracy of the trained joint model on
+        GT frames; ``compute_crf`` adds the CRF-refined seg metrics (the
+        `eval/epoch/MeanCRF*` columns of `notebooks/fbms_eval_icml.ipynb`).
         Spec: `run/handles.py:339-477` get_compute_eval_metrics for the
         joint pipeline. ALL GT frames evaluate in ONE vmapped device call
         (the reference loops frames on the host, one forward each)."""
@@ -737,28 +764,59 @@ class FBMSRunner:
             }
             self._eval_joint_cache = cache
         gts = cache["gts"]
-        seg_ious, prior_ious = [], []
+        seg_ious, prior_ious, accs, prior_accs = [], [], [], []
+        crf_ious, crf_accs = [], []
         if gts:
             outs = np.asarray(cache["fn"](
                 state.seg_params, state.seg_state, state.prior_params,
                 cache["imgs"], cache["fts"], cache["idx"],
             ))
+            crf_refined = None
+            if compute_crf:
+                from awesome_tpu.ops.crf import dense_crf_batched
+
+                # outs[..., 0] is the BACKGROUND probability (fg = 0);
+                # one batched device call refines every GT frame
+                crf_refined = dense_crf_batched(
+                    np.asarray(cache["imgs"]), outs[..., 0],
+                    is_softmax_unaries=True,
+                )
+            from awesome_tpu.measures.metrics import pixel_accuracy
+
             for k, gt in enumerate(gts):
+                gt_arr = jnp.asarray(np.asarray(gt))
                 gt_fg = np.asarray(gt) < 0.5
                 seg_ious.append(float(iou(
                     jnp.asarray(outs[k, :, :, 0] < 0.5),
                     jnp.asarray(gt_fg))))
+                accs.append(float(pixel_accuracy(
+                    jnp.asarray(outs[k, :, :, 0]), gt_arr)))
                 if outs.shape[-1] > 1:
                     prior_ious.append(float(iou(
                         jnp.asarray(outs[k, :, :, 1] < 0.5),
                         jnp.asarray(gt_fg))))
-        return {
+                    prior_accs.append(float(pixel_accuracy(
+                        jnp.asarray(outs[k, :, :, 1]), gt_arr)))
+                if crf_refined is not None:
+                    crf_bg = crf_refined[k][..., 0]
+                    crf_ious.append(float(iou(
+                        jnp.asarray(crf_bg < 0.5), jnp.asarray(gt_fg))))
+                    crf_accs.append(float(pixel_accuracy(
+                        jnp.asarray(crf_bg), gt_arr)))
+        metrics = {
             "MeanForegroundBinaryMIOU": float(np.mean(seg_ious))
             if seg_ious else 0.0,
             "PriorMeanForegroundBinaryMIOU": float(np.mean(prior_ious))
             if prior_ious else 0.0,
+            "MeanPixelAccuracy": float(np.mean(accs)) if accs else 0.0,
             "num_gt_frames": len(seg_ious),
         }
+        if prior_accs:
+            metrics["PriorMeanPixelAccuracy"] = float(np.mean(prior_accs))
+        if crf_ious:
+            metrics["CRFMeanForegroundBinaryMIOU"] = float(np.mean(crf_ious))
+            metrics["CRFMeanPixelAccuracy"] = float(np.mean(crf_accs))
+        return metrics
 
     def train_joint_multi_object(
         self,
@@ -1029,6 +1087,8 @@ class FBMSRunner:
         plot_indices: Optional[List[int]] = None,  # frames to dump
         plot_nth_epoch: int = 100,
         plot_dir: Optional[str] = None,
+        eval_epoch0: bool = False,  # record the pre-training baseline eval
+        eval_crf: bool = False,  # CRF-refined metrics at each eval tick
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
@@ -1143,6 +1203,17 @@ class FBMSRunner:
         lr_scale = 1.0
         stopped_early = False
         epoch_metrics = []
+        if eval_epoch0:
+            # epoch-0 "Baseline" row of the paper's Sequential-vs-Joint
+            # table: the pretrained priors + untrained UNet, evaluated
+            # BEFORE any joint update (`notebooks/fbms_eval_icml.ipynb`
+            # index_mapping {0: Baseline, 15: Joint})
+            self.joint_state = jax.block_until_ready(state)
+            self.joint_wrapper = wrapper
+            for k, v in self.evaluate_joint(compute_crf=eval_crf).items():
+                if isinstance(v, float):
+                    tracker.epoch_metric(k, v, "eval")
+            tracker.tick_epoch()
         for e in range(num_epochs):
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
@@ -1169,7 +1240,9 @@ class FBMSRunner:
                     "Loss", float(np.asarray(metrics["loss"]).mean()),
                     "train",
                 )
-                for k, v in self.evaluate_joint().items():
+                for k, v in self.evaluate_joint(
+                    compute_crf=eval_crf
+                ).items():
                     if isinstance(v, float):
                         tracker.epoch_metric(k, v, "eval")
                 tracker.tick_epoch()

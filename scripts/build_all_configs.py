@@ -1,22 +1,29 @@
 #!/usr/bin/env python
-"""Build EVERY reference YAML: import -> construct -> ready to train.
+"""Build (or reduced-TRAIN) EVERY reference YAML.
 
 Upgrades the importer completeness gate from "all 207 reference YAMLs
 parse with no unmapped fields" (tests/test_reference_import.py) to "all
 207 build": dataset assembled (synthetic replica when the real download
 is absent), segmentation + prior models constructed at the YAML's
 declared sizes, stacked per-image params initialized, optimizer state
-built. No training — this sweeps breadth, the per-family e2e tests sweep
-depth (tests/test_reference_e2e_families.py).
+built. The build sweeps breadth, the per-family e2e tests sweep depth
+(tests/test_reference_e2e_families.py).
+
+``--train`` goes further: every config TRAINS end-to-end through the
+exact `scripts/run.py` routing (pretrain -> joint train -> eval), with
+ONLY the cost knobs shrunk (step/epoch counts; models, losses, data
+encodings, schedulers stay at the YAML's declared settings), asserting
+finite losses and in-range metrics per config.
 
 Replaces nothing in the reference (its YAMLs are consumed by
 `awesome/run/config.py` + SLURM job files); spec anchor:
 `awesome/run/awesome_runner.py` build path.
 
     python scripts/build_all_configs.py [--config-root DIR] [--limit N]
+        [--train] [--stratified]
 
-Writes a JSON report (runs/build_all/report.json) and exits nonzero on
-any failure.
+Writes a JSON report (runs/build_all/report.json, or runs/train_all/
+report.json with --train) and exits nonzero on any failure.
 """
 import argparse
 import json
@@ -128,14 +135,127 @@ def build_one(path: str, seq_dir: str, runs_path: str):
         raise RuntimeError("build() completed without initialized params")
 
 
+def _shrink_cost_knobs(cfg, runs_path: str, tag: str):
+    """Reduce ONLY step/epoch budgets (the knobs a user would tune for a
+    quick run); everything semantic — models, losses, encodings, noise
+    levels, schedulers, weight decays — stays at the YAML's values."""
+    import os as _os
+
+    pa = dict(cfg.pretrain_args or {})
+    if pa:
+        pa["num_epochs"] = min(int(pa.get("num_epochs", 2000)), 12)
+        pa["reuse_state_epochs"] = min(
+            int(pa.get("reuse_state_epochs", 400)), 6)
+        pa["prefit_flow_net_identity_num_epochs"] = 6
+        pa["prefit_convex_net_num_epochs"] = 6
+        if isinstance(pa.get("zoo"), dict):
+            pa["zoo"] = {"zoo_folder": _os.path.join(runs_path, "zoo")}
+        cfg.pretrain_args = pa
+    if cfg.pretrain_state_path:
+        cfg.pretrain_state_path = _os.path.join(
+            runs_path, "pretrain_state", tag)
+    if cfg.num_epochs:
+        cfg.num_epochs = min(int(cfg.num_epochs), 2)
+
+
+def train_one(path: str, seq_dir: str, runs_path: str) -> dict:
+    """Reduced end-to-end run of one reference YAML: the exact
+    `scripts/run.py` routing (FBMS vs convexity; spatio-temporal vs
+    pretrain_only vs joint), synthetic replica data, shrunk budgets.
+    Raises on any non-finite loss or out-of-range metric."""
+    import numpy as np
+
+    from awesome_tpu.runner.reference_import import load_reference_config
+
+    cfg, extra = load_reference_config(path)
+    if extra:
+        raise RuntimeError(f"unmapped reference fields: {sorted(extra)}")
+    cfg.runs_path = runs_path
+    tag = os.path.basename(path).replace(".yaml", "")
+    _shrink_cost_knobs(cfg, runs_path, tag)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run import _is_fbms
+
+    def _finite(x, what):
+        arr = np.asarray(x, dtype=np.float64)
+        if not np.isfinite(arr).all():
+            raise RuntimeError(f"non-finite {what}: {arr}")
+
+    def _metric_range(metrics):
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)) and ("IOU" in k.upper()
+                                                or "Accuracy" in k):
+                if not (0.0 <= float(v) <= 1.0):
+                    raise RuntimeError(f"metric {k}={v} out of [0,1]")
+
+    if _is_fbms(cfg):
+        from awesome_tpu.runner.fbms_runner import FBMSRunner
+
+        runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq_dir)
+        if (cfg.dataset_args or {}).get("spatio_temporal") or (
+            cfg.prior_model_args or {}
+        ).get("channels") == 3:
+            # shared (x, y, t) fit (spatio-temporal + noisy families)
+            runner.config.num_epochs = min(
+                runner.config.num_epochs or 10, 10) or 10
+            runner.build()
+            res = runner.pretrain()
+            _finite(res["epoch_loss"], "spatio-temporal epoch_loss")
+            metrics = runner.evaluate()
+            _metric_range(metrics)
+            return {"mode": "spatio-temporal", "metrics": metrics}
+        runner.build()
+        out = {"mode": "fbms-joint"}
+        if cfg.do_pretraining:
+            res = runner.run_pretrain_only_from_config(
+                num_steps=10, reuse_state_steps=5,
+                prefit_flow_identity_steps=5, prefit_convex_steps=5,
+            )
+            if "cold_loss" in res:
+                _finite(res["cold_loss"], "pretrain cold_loss")
+            if cfg.pretrain_only:
+                out["mode"] = "fbms-pretrain-only"
+                return out
+        res = runner.train_joint_from_config(num_epochs=1)
+        _finite(res["loss"], "joint loss")
+        metrics = runner.evaluate_joint()
+        _metric_range(metrics)
+        out["metrics"] = metrics
+        return out
+
+    from awesome_tpu.runner.runner import AwesomeRunner
+
+    cfg.dataset_args = dict(cfg.dataset_args or {})
+    cfg.dataset_args.setdefault("n", 2)
+    cfg.dataset_args.setdefault("h", 24)
+    cfg.dataset_args.setdefault("w", 32)
+    cfg.num_epochs = max(1, min(int(cfg.num_epochs or 2), 2))
+    runner = AwesomeRunner(cfg)
+    runner.build()
+    if cfg.do_pretraining:
+        runner.pretrain()
+        if cfg.pretrain_only:
+            return {"mode": "convexity-pretrain-only"}
+    res = runner.train()
+    if isinstance(res, dict) and "loss" in res:
+        _finite(res["loss"], "train loss")
+    metrics = runner.evaluate()
+    _metric_range(metrics)
+    return {"mode": "convexity", "metrics": metrics}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config-root", default="/root/reference/config")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--stratified", action="store_true",
                    help="one YAML per config directory (fast CI sample)")
-    p.add_argument("--out", default="runs/build_all")
+    p.add_argument("--train", action="store_true",
+                   help="reduced end-to-end TRAIN instead of build-only")
+    p.add_argument("--out", default=None)
     args = p.parse_args()
+    if args.out is None:
+        args.out = "runs/train_all" if args.train else "runs/build_all"
 
     yamls = []
     for root, _, files in os.walk(args.config_root):
@@ -152,11 +272,15 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         seq_dir = write_sequence(tmp)
         runs_path = os.path.join(tmp, "runs")
+        details = {}
         for i, y in enumerate(yamls):
             rel = os.path.relpath(y, args.config_root)
             t0 = time.time()
             try:
-                build_one(y, seq_dir, runs_path)
+                if args.train:
+                    details[rel] = train_one(y, seq_dir, runs_path)
+                else:
+                    build_one(y, seq_dir, runs_path)
                 ok.append(rel)
                 print(f"[{i + 1}/{len(yamls)}] {rel}: OK "
                       f"({time.time() - t0:.1f}s)", flush=True)
@@ -166,12 +290,16 @@ def main():
                 print(f"[{i + 1}/{len(yamls)}] {rel}: FAIL {e!r}",
                       flush=True)
 
-    report = {"total": len(yamls), "ok": len(ok), "failures": failures}
+    report = {"total": len(yamls), "ok": len(ok), "failures": failures,
+              "trained": bool(args.train)}
+    if args.train:
+        report["details"] = details
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
-    print(f"built {len(ok)}/{len(yamls)}; report -> {args.out}/report.json")
+    verb = "trained" if args.train else "built"
+    print(f"{verb} {len(ok)}/{len(yamls)}; report -> {args.out}/report.json")
     if failures:
-        raise SystemExit(f"{len(failures)} configs failed to build")
+        raise SystemExit(f"{len(failures)} configs failed")
 
 
 if __name__ == "__main__":

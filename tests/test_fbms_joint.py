@@ -237,3 +237,50 @@ def test_joint_plot_dumps(tmp_path):
         d = os.path.join(out, f"{idx:03d}")
         assert os.path.isdir(d)
         assert len(os.listdir(d)) == 2  # one dump per epoch
+
+
+def test_fbms_eval_table_roundtrip(tmp_path):
+    """The fbms_eval_icml pipeline in miniature: joint training with an
+    epoch-0 Baseline eval + CRF-refined metrics, persisted via
+    save_joint_results, reloaded through ResultModel, and the notebook's
+    Baseline(0)/Joint(last) columns extracted by epoch index
+    (`notebooks/fbms_eval_icml.ipynb` index_mapping, col_mapping)."""
+    import os
+
+    import pytest
+
+    from awesome_tpu.analytics.result_model import ResultModel
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+    from awesome_tpu.runner.reference_import import load_reference_config
+
+    path = ("/root/reference/config/path-connectedness/joint/"
+            "UNET+cars3+edge+diffeo+original+joint.yaml")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not present")
+    cfg, _ = load_reference_config(path)
+    cfg.runs_path = str(tmp_path / "runs")
+    cfg.compute_crf_with_metrics = True
+    cfg.compute_metrics_during_training_nth_epoch = 1
+    cfg.prior_model_args.update(
+        hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
+        convex_net_hidden_layers=1,
+    )
+    seq = _write_sequence(tmp_path)
+    runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
+    runner.build()
+    res = runner.train_joint_from_config(num_epochs=2, eval_epoch0=True)
+    assert np.isfinite(res["loss"]).all()
+    out = runner.save_joint_results(str(tmp_path / "run_dir"))
+
+    m = ResultModel.from_path(out)
+    base = m.metric_at_epoch("MeanForegroundBinaryMIOU", 0)
+    joint = m.metric("MeanForegroundBinaryMIOU", selection="last")
+    assert base is not None and 0.0 <= base <= 1.0
+    assert joint is not None and 0.0 <= joint <= 1.0
+    # CRF columns recorded at every eval tick incl. the baseline
+    crf0 = m.metric_at_epoch("CRFMeanForegroundBinaryMIOU", 0)
+    assert crf0 is not None and 0.0 <= crf0 <= 1.0
+    acc = m.metric_at_epoch("MeanPixelAccuracy", 0)
+    assert acc is not None and 0.0 <= acc <= 1.0
+    # absent epochs return None, not a crash
+    assert m.metric_at_epoch("MeanForegroundBinaryMIOU", 99) is None

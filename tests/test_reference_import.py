@@ -162,3 +162,33 @@ def test_stratified_reference_configs_build(tmp_path):
     report = json.load(open(out / "report.json"))
     assert report["total"] == 9  # one per reference config directory
     assert report["ok"] == 9 and not report["failures"]
+
+
+def test_stratified_reference_configs_train(tmp_path):
+    """One YAML per reference config directory TRAINS end-to-end through
+    the exact `scripts/run.py` routing (pretrain -> joint -> eval) with
+    only step/epoch budgets shrunk — finite losses + in-range metrics
+    asserted per config (scripts/build_all_configs.py --train; the full
+    207-config sweep runs standing, runs/train_all/report.json)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "report"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "build_all_configs.py"),
+         "--train", "--stratified", "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    report = json.load(open(out / "report.json"))
+    assert report["total"] == 9 and report["ok"] == 9, report["failures"]
+    # every family produced a mode + (where it evaluates) sane metrics
+    assert len(report["details"]) == 9
