@@ -283,6 +283,58 @@ class ResultComparison:
             rows.append(row)
         return pd.DataFrame(rows)
 
+    def grouped_table(self, metric_names: List[str],
+                      group_by: Optional[List[str]] = None,
+                      mode: str = "eval", selection: str = "last",
+                      maximize: bool = True, fmt: str = "{:.3f}"):
+        """Seed-grouped "mean ± std" table (the unireps evaluation
+        notebook's cells 2-5: runs grouped by everything except the
+        seed, metrics aggregated over the seed group;
+        `notebooks/unireps_evaluation.ipynb`). ``group_by`` defaults to
+        all cfg:* columns except cfg:seed."""
+        import pandas as pd
+
+        rows_in = []
+        for r in self.results:
+            row = {"experiment": (r.config.name_experiment
+                                  if r.config is not None else r.name),
+                   "cfg:seed": (r.config.seed
+                                if r.config is not None else None)}
+            if r.config is not None and r.config.diff_config:
+                for k, v in r.config.diff_config.items():
+                    row[f"cfg:{k}"] = v
+            for m in metric_names:
+                row[m] = r.metric(m, mode, selection=selection,
+                                  maximize=maximize)
+            rows_in.append(row)
+        df = pd.DataFrame(rows_in)
+        if group_by is None:
+            group_by = ["experiment"] + [
+                c for c in df.columns
+                if c.startswith("cfg:") and c != "cfg:seed"
+            ]
+        present = [m for m in metric_names if m in df.columns]
+        rows = []
+        for keys, g in df.groupby(group_by, dropna=False):
+            if not isinstance(keys, tuple):
+                keys = (keys,)
+            row = dict(zip(group_by, keys))
+            row["n_runs"] = len(g)
+            if "cfg:seed" in df.columns:
+                row["seeds"] = ", ".join(
+                    str(s) for s in sorted(g["cfg:seed"].dropna()))
+            for m in present:
+                vals = g[m].dropna()
+                if len(vals) == 0:
+                    row[m] = ""
+                elif len(vals) == 1:
+                    row[m] = fmt.format(vals.iloc[0])
+                else:
+                    row[m] = (fmt.format(vals.mean()) + " ± "
+                              + fmt.format(vals.std()))
+            rows.append(row)
+        return pd.DataFrame(rows)
+
     def noise_curve(self, metric: str, mode: str = "eval"):
         """noise level -> metric (sorted), for NoisyUnariesResultModels."""
         pts = [

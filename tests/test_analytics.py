@@ -147,3 +147,34 @@ def test_noisy_unaries_result_model(tmp_path):
     assert "noise" in df.columns
     curve = cmp.noise_curve("MeanForegroundBinaryMIOU")
     assert curve and curve[0][0] == 0.2
+
+
+def test_grouped_mean_std_table(tmp_path):
+    """Seed-grouped mean ± std aggregation (the unireps evaluation
+    notebook's summarized frame, `notebooks/unireps_evaluation.ipynb`
+    cells 2-5): runs differing only in seed collapse to one row."""
+    for seed in (1, 7):
+        cfg = AwesomeConfig(
+            name_experiment="g",
+            dataset_args={"n": 2, "h": 24, "w": 24},
+            segmentation_model_args={"n_hidden": 16},
+            prior_model_args={"n_hidden": 16, "n_hidden_layers": 1},
+            optimizer_args={"lr": 0.02},
+            num_epochs=30,
+            runs_path=str(tmp_path),
+            seed=seed,
+        )
+        r = AwesomeRunner(cfg)
+        r.build()
+        r.train()
+        r.evaluate()
+        r.save_results()
+    results = ResultModel.scan_result_directory(str(tmp_path))
+    assert len(results) == 2
+    comp = ResultComparison(results)
+    metric = "MeanForegroundBinaryMIOU"
+    df = comp.grouped_table([metric])
+    assert len(df) == 1  # the two seeds grouped into one row
+    assert df.iloc[0]["n_runs"] == 2
+    assert "±" in df.iloc[0][metric]
+    assert "1" in df.iloc[0]["seeds"] and "7" in df.iloc[0]["seeds"]
