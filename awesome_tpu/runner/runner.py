@@ -456,7 +456,10 @@ class AwesomeRunner(Runner):
         embedmaps (zero egress) the fallback is the spectral-matting
         proxy (`runner/sss_extractor.py:spectral_soft_segments` —
         matting-Laplacian eigenvectors, the non-semantic half of the SSS
-        pipeline), cached per image; RGB-PCA as the last resort."""
+        pipeline), cached per image; RGB-PCA as the last resort.
+        ``dataset_args['sss_proxy'] = 'spectral_device'`` selects the
+        accelerator-native eigensolve (`ops/spectral.py`) instead of the
+        host scipy path."""
         xytype = self.xytype
         if xytype == "xy":
             return None
@@ -485,11 +488,15 @@ class AwesomeRunner(Runner):
                     feat = cache[key]
                 else:
                     from awesome_tpu.runner.sss_extractor import (
-                        spectral_soft_segments,
+                        SemanticSoftSegmentationExtractor,
                     )
 
+                    proxy = self.config.dataset_args.get(
+                        "sss_proxy", "spectral")
+                    ex = SemanticSoftSegmentationExtractor(
+                        feature_dir or "/nonexistent", proxy=proxy)
                     try:
-                        feat = spectral_soft_segments(s.image)
+                        feat = ex.proxy_features(s.image)
                     except Exception as e:
                         logger.warning(
                             "spectral soft segments failed (%r); 'feat' "

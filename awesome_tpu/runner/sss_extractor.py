@@ -19,6 +19,10 @@ orchestration layer that
   keep the Laplacian alone). Piecewise-smooth, edge-aligned soft
   segments, far closer in character to SSS embedmaps than the previous
   Gaussian-pyramid PCA (still available via ``proxy="pyramid"``).
+  ``proxy="spectral_device"`` runs the Laplacian build and eigensolve
+  on the accelerator instead of scipy
+  (`awesome_tpu.ops.spectral.spectral_soft_segments_device`; a valid
+  variant rather than bit-faithful — see its docstring).
 """
 from __future__ import annotations
 
@@ -139,7 +143,10 @@ class SemanticSoftSegmentationExtractor:
         configured, reproduce the reference's shell-out
         (`awesome/run/semantic_soft_segmentation_extractor.py:139-176` runs
         ``main.py`` inside the SSS checkout against the checkpoint dir);
-        otherwise precomputed-embedmap / proxy fallback."""
+        otherwise precomputed-embedmap / proxy fallback. The proxy flavor
+        comes from ``config.dataset_args['sss_proxy']`` (default
+        "spectral"; "spectral_device" = accelerator eigensolve,
+        "pyramid" = the legacy Gaussian-pyramid PCA)."""
         tmpl = None
         code_dir = getattr(
             config, "semantic_soft_segmentation_code_dir", None)
@@ -154,8 +161,11 @@ class SemanticSoftSegmentationExtractor:
                 f" --model-checkpoint-dir {ckpt}"
                 f" --image {{name}} --output-dir {feature_dir}"
             )
+        proxy = getattr(config, "dataset_args", None) or {}
+        proxy = proxy.get("sss_proxy", "spectral") if isinstance(
+            proxy, dict) else "spectral"
         return cls(feature_dir, command_template=tmpl,
-                   n_components=n_components)
+                   n_components=n_components, proxy=proxy)
 
     def extract(self, image: np.ndarray, name: str) -> np.ndarray:
         """(H, W, 3) float [0,1] -> (H, W, n_components) features."""
@@ -179,8 +189,29 @@ class SemanticSoftSegmentationExtractor:
                 return feat
         return self._proxy_features(image)
 
+    def proxy_features(self, image: np.ndarray) -> np.ndarray:
+        """Features from the configured proxy alone (no embedmap lookup /
+        shell-out): device or host spectral matting per ``self.proxy``,
+        degrading gracefully to pyramid PCA."""
+        return self._proxy_features(image)
+
     def _proxy_features(self, image: np.ndarray) -> np.ndarray:
-        if self.proxy == "spectral" and min(image.shape[:2]) >= 3:
+        if self.proxy == "spectral_device" and min(image.shape[:2]) >= 3:
+            try:
+                from awesome_tpu.ops.spectral import (
+                    spectral_soft_segments_device,
+                )
+
+                return spectral_soft_segments_device(
+                    image, self.n_components)
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "device spectral soft segments failed (%r); "
+                    "falling back to the host spectral path", e)
+        if self.proxy in ("spectral", "spectral_device") and (
+                min(image.shape[:2]) >= 3):
             try:
                 return spectral_soft_segments(image, self.n_components)
             except Exception as e:  # singular Laplacian corner cases

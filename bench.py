@@ -64,6 +64,27 @@ def _measured_baseline():
         return None, None
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Retry backend init through transient tunnel outages.
+
+    The remote-TPU tunnel occasionally drops and raises UNAVAILABLE on
+    the first device op for a few minutes; a bench run launched in that
+    window should wait it out rather than record a spurious failure."""
+    import jax
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or time.time() > deadline:
+                raise
+            print(f"backend unavailable ({e}); retrying in 30 s",
+                  file=sys.stderr)
+            time.sleep(30.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -72,6 +93,8 @@ def main():
     from awesome_tpu.fit import FitConfig
     from awesome_tpu.fit.prior_fit import make_fit_fn
     from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+    _wait_for_backend()
 
     # Shapes chosen to keep the remote-compile path reliable on the
     # tunneled chip (128x128 programs have been observed to wedge the

@@ -126,3 +126,90 @@ def test_runner_feat_encoding_uses_spectral():
     np.testing.assert_array_equal(enc, spectral_soft_segments(s.image))
     # cached: second call returns the identical object
     assert runner._encoding_map(s) is runner._feat_cache[s.index]
+
+
+def test_runner_sss_proxy_knob_selects_device_path():
+    """`dataset_args['sss_proxy'] = 'spectral_device'` routes the 'feat'
+    encoding through the accelerator eigensolve; from_config picks the
+    same knob up for the extractor."""
+    from awesome_tpu.ops.spectral import spectral_soft_segments_device
+    from awesome_tpu.runner.config import AwesomeConfig
+    from awesome_tpu.runner.runner import AwesomeRunner
+    from awesome_tpu.runner.sss_extractor import (
+        SemanticSoftSegmentationExtractor,
+    )
+
+    cfg = AwesomeConfig(
+        dataset_args={"xytype": "feat", "n": 1, "h": 24, "w": 32,
+                      "sss_proxy": "spectral_device"},
+        num_epochs=1,
+    )
+    runner = AwesomeRunner(cfg)
+    runner.build_dataset()
+    s = runner.samples[0]
+    enc = runner._encoding_map(s)
+    np.testing.assert_array_equal(
+        enc, spectral_soft_segments_device(s.image, 2))
+    ex = SemanticSoftSegmentationExtractor.from_config(cfg, "/nonexistent")
+    assert ex.proxy == "spectral_device"
+
+
+def test_device_stencil_matches_scipy_laplacian():
+    """The TPU-native stencil operator (`ops/spectral.py`) is the same
+    matting Laplacian: L @ x parity against the scipy CSR build."""
+    import jax.numpy as jnp
+
+    from awesome_tpu.ops.spectral import matting_stencil, stencil_matvec
+    from awesome_tpu.runner.sss_extractor import matting_laplacian
+
+    img, _ = _two_region_image(20, 27)
+    L = matting_laplacian(img.astype(np.float64), eps=1e-4)
+    st = matting_stencil(jnp.asarray(img, jnp.float32), eps=1e-4)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(20, 27, 2)).astype(np.float32)
+    y_ref = (L @ x.reshape(-1, 2)).reshape(20, 27, 2)
+    y = np.asarray(stencil_matvec(st, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+    # rows sum to zero (constant nullspace) and the operator is
+    # symmetric: stencil[i, d] == stencil[i+d, -d]
+    stn = np.asarray(st)
+    assert np.abs(stn.sum(axis=(2, 3))).max() < 1e-3
+    assert abs(stn[5, 6, 3, 4] - stn[6, 8, 1, 0]) < 1e-5
+
+
+def test_device_spectral_segments_quality_and_determinism():
+    """Device LOBPCG path: same quality gates as the host spectral
+    proxy (piecewise-constant per region, thresholds to the true
+    region, deterministic)."""
+    from awesome_tpu.ops.spectral import spectral_soft_segments_device
+
+    img, blob = _two_region_image()
+    f = spectral_soft_segments_device(img, 2)
+    assert f.shape == (96, 128, 2) and f.dtype == np.float32
+    assert np.array_equal(f, spectral_soft_segments_device(img, 2))
+    gaps = [
+        abs(f[..., c][blob].mean() - f[..., c][~blob].mean())
+        for c in range(2)
+    ]
+    c = int(np.argmax(gaps))
+    assert gaps[c] > 0.5
+    m = f[..., c] > 0.5
+    if m[blob].mean() < 0.5:
+        m = ~m
+    iou = (m & blob).sum() / (m | blob).sum()
+    assert iou > 0.95, iou
+    assert f[..., c][blob].std() < 0.1
+    assert f[..., c][~blob].std() < 0.1
+
+
+def test_extractor_spectral_device_proxy():
+    from awesome_tpu.ops.spectral import spectral_soft_segments_device
+    from awesome_tpu.runner.sss_extractor import (
+        SemanticSoftSegmentationExtractor,
+    )
+
+    img, _ = _two_region_image(48, 64)
+    ex = SemanticSoftSegmentationExtractor("/nonexistent",
+                                           proxy="spectral_device")
+    np.testing.assert_array_equal(
+        ex.extract(img, "a"), spectral_soft_segments_device(img, 2))
