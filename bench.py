@@ -67,22 +67,44 @@ def _measured_baseline():
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
     """Retry backend init through transient tunnel outages.
 
-    The remote-TPU tunnel occasionally drops and raises UNAVAILABLE on
-    the first device op for a few minutes; a bench run launched in that
-    window should wait it out rather than record a spurious failure."""
+    The remote-TPU tunnel has two observed outage flavors: the first
+    device op raises UNAVAILABLE, or it HANGS indefinitely waiting for
+    the chip grant. A bench run launched in that window should wait the
+    outage out (bounded) rather than record a spurious failure or hang
+    forever — so the first ``jax.devices()`` runs on a daemon thread
+    with a deadline (backend init is process-global, so the main thread
+    can use it afterwards)."""
+    import threading
+
     import jax
 
     deadline = time.time() + max_wait_s
-    while True:
-        try:
-            jax.devices()
-            return
-        except RuntimeError as e:
-            if "UNAVAILABLE" not in str(e) or time.time() > deadline:
-                raise
-            print(f"backend unavailable ({e}); retrying in 30 s",
-                  file=sys.stderr)
-            time.sleep(30.0)
+    state: dict = {}
+
+    def _init():
+        while True:
+            try:
+                jax.devices()
+                state["ok"] = True
+                return
+            except RuntimeError as e:
+                if "UNAVAILABLE" not in str(e) or time.time() > deadline:
+                    state["err"] = e
+                    return
+                print(f"backend unavailable ({e}); retrying in 30 s",
+                      file=sys.stderr)
+                time.sleep(30.0)
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout=max_wait_s)
+    if state.get("ok"):
+        return
+    if "err" in state:
+        raise state["err"]
+    raise RuntimeError(
+        f"TPU backend grant not issued within {max_wait_s:.0f} s "
+        "(tunnel outage?); giving up cleanly")
 
 
 def main():

@@ -45,6 +45,25 @@ def test_wait_for_backend_reraises_other_errors(monkeypatch):
         bench._wait_for_backend(max_wait_s=60.0)
 
 
+def test_wait_for_backend_bounds_a_hanging_grant(monkeypatch):
+    """The other observed outage flavor: `jax.devices()` HANGS waiting
+    for the chip grant. The wait must give up cleanly at the deadline
+    (daemon-thread init), not hang the bench forever."""
+    import threading
+
+    class FakeJax:
+        @staticmethod
+        def devices():
+            threading.Event().wait(30.0)
+            return ["chip"]
+
+    monkeypatch.setitem(sys.modules, "jax", FakeJax)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="grant not issued"):
+        bench._wait_for_backend(max_wait_s=1.5)
+    assert time.monotonic() - t0 < 10.0
+
+
 def test_wait_for_backend_gives_up_after_deadline(monkeypatch):
     clock = {"t": 0.0}
     monkeypatch.setattr(time, "time", lambda: clock["t"])
