@@ -47,6 +47,11 @@ def main():
     p.add_argument("--models", nargs="*",
                    default=["net", "fcnet", "cnnnet"])
     p.add_argument("--xytypes", nargs="*", default=["xy", "feat", "featxy"])
+    p.add_argument("--sss-proxy", default="spectral",
+                   choices=["spectral", "spectral_device", "pyramid"],
+                   help="SSS feature proxy for the 'feat'/'featxy' cells "
+                        "(runner/sss_extractor.py; 'spectral_device' = "
+                        "accelerator eigensolve, ops/spectral.py)")
     args = p.parse_args()
 
     from awesome_tpu.analytics.result_model import (
@@ -73,6 +78,8 @@ def main():
         name = f"{m}+{xyt}+{'prior' if use_prior else 'noprior'}"
         dataset_args = {"n": args.n, "h": args.hw, "w": args.hw,
                         "xytype": xyt}
+        if xyt in ("feat", "featxy") and args.sss_proxy != "spectral":
+            dataset_args["sss_proxy"] = args.sss_proxy
         # reference FCNET/CNNET benchmark widths
         # (`config/convexity/sequential/FCNET_benchmark+*.yaml`)
         seg_args = (
