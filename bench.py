@@ -64,7 +64,7 @@ def _measured_baseline():
         return None, None
 
 
-def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
     """Retry backend init through transient tunnel outages.
 
     The remote-TPU tunnel has two observed outage flavors: the first
