@@ -58,6 +58,43 @@ def pytree_exists(path: str) -> bool:
     return os.path.isdir(path) or os.path.exists(path + ".npz")
 
 
+def _path_names(path) -> tuple:
+    """Normalize a jax key path to name strings so a namedtuple field
+    (GetAttrKey) and its dict-restored form (DictKey) compare equal."""
+    names = []
+    for k in path:
+        for attr in ("name", "key", "idx"):
+            if hasattr(k, attr):
+                names.append(str(getattr(k, attr)))
+                break
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def restructure_like(template: Any, restored: Any) -> Any:
+    """Rebuild ``restored`` with ``template``'s exact PyTree structure.
+
+    Orbax restores NamedTuple nodes (optimizer states, train states) as
+    plain dicts keyed by field name; leaves are matched by their
+    normalized key paths, so field ORDER differences between the
+    namedtuple definition and dict key sorting cannot mis-assign them."""
+    import jax
+    import jax.numpy as jnp
+
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(restored)
+    by_path = {_path_names(p): leaf for p, leaf in flat_r}
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+    try:
+        leaves = [jnp.asarray(by_path[_path_names(p)]) for p, _ in flat_t]
+    except KeyError as e:
+        raise ValueError(
+            f"checkpoint is missing leaf {e} expected by the template "
+            f"(has: {sorted(by_path)[:8]}...)"
+        ) from None
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_pytree(path: str, template: Optional[Any] = None) -> Any:
     import jax
     import jax.numpy as jnp
@@ -65,7 +102,10 @@ def load_pytree(path: str, template: Optional[Any] = None) -> Any:
     ocp = _try_orbax()
     if ocp is not None and os.path.isdir(path):
         ckptr = ocp.PyTreeCheckpointer()
-        return ckptr.restore(os.path.abspath(path))
+        restored = ckptr.restore(os.path.abspath(path))
+        if template is not None:
+            return restructure_like(template, restored)
+        return restored
     data = np.load(path + ".npz")
     leaves = [jnp.asarray(data[k]) for k in data.files]
     if template is not None:

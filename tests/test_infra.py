@@ -71,6 +71,29 @@ def test_agent_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_agent_checkpoint_namedtuple_opt_state_roundtrip(tmp_path):
+    """Optimizer states are NamedTuples; Orbax restores those as plain
+    dicts, so the template-driven load must rebuild the exact structure
+    (field-name path matching — JointTrainState's field order differs
+    from its sorted key order, which a naive leaf-order unflatten would
+    silently mis-assign)."""
+    from awesome_tpu.fit import optim
+
+    model = ConvexNextNet(n_hidden=8)
+    params = model.init(jax.random.PRNGKey(1))
+    opt = optim.adam_init(params)
+    ckpt = AgentCheckpoint("agent", params, opt_state=opt)
+    d = ckpt.save(str(tmp_path / "ckpt"))
+    loaded = AgentCheckpoint.load(d, params_template=params,
+                                  opt_template=opt)
+    assert type(loaded.opt_state).__name__ == "AdamState"
+    assert (jax.tree_util.tree_structure(loaded.opt_state)
+            == jax.tree_util.tree_structure(opt))
+    for a, b in zip(jax.tree_util.tree_leaves(loaded.opt_state),
+                    jax.tree_util.tree_leaves(opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_prior_cache_checkpoint(tmp_path):
     model = ConvexNextNet(n_hidden=8)
     stacked = jax.vmap(model.init)(jax.random.split(jax.random.PRNGKey(0), 4))

@@ -257,6 +257,103 @@ def test_multi_object_step_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_sharded_checkpoint_resume_bit_identical(tmp_path):
+    """Checkpoint/resume at multi-chip scale: a mesh-sharded joint train
+    state saved mid-run (AgentCheckpoint -> Orbax/npz), reloaded on the
+    host, re-sharded onto the mesh, and stepped to completion must match
+    the uninterrupted run bit for bit (same jit program, same shardings,
+    same values — the checkpoint must not perturb anything)."""
+    from awesome_tpu.fit.checkpoint import AgentCheckpoint
+    from awesome_tpu.fit.trainer import (
+        JointTrainConfig,
+        joint_train_init,
+        make_joint_train_step,
+    )
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+    from awesome_tpu.nn.seg import UNet
+    from awesome_tpu.nn.wrapper import WrapperModule
+
+    h = w = 16
+    batch = 4
+    prior = real_nvp_path_connected_net(
+        channels=2, hidden_units=8, flow_n_flows=3, flow_output_fn="tanh",
+        spatial_shape=(h, w), convex_net_hidden_units=8,
+        convex_net_hidden_layers=1,
+    )
+    wrapper = WrapperModule(
+        segmentation_module=UNet(in_chn=4, out_chn=1),
+        prior_module=prior,
+        input_mode="image",
+        prior_arg_mode="param_clean_grid",
+        seg_stateful=True,
+    )
+    cfg = JointTrainConfig(lr=1e-3, prior_lr=1e-3)
+    state0 = joint_train_init(wrapper, jax.random.PRNGKey(0), batch, cfg)
+    step = jax.jit(make_joint_train_step(wrapper, cfg))
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh((4, 2))
+
+    def dp(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+
+    rep = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), t
+    )
+    dpt = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: dp(x) if getattr(x, "ndim", 0) > 0 else x, t
+    )
+
+    def shard_state(s):
+        return s._replace(
+            seg_params=rep(s.seg_params),
+            seg_state=rep(s.seg_state),
+            seg_opt=rep(s.seg_opt),
+            prior_params=dpt(s.prior_params),
+            prior_opt=dpt(s.prior_opt),
+        )
+
+    batch_data = {
+        "image": dp(jnp.asarray(rng.random((batch, h, w, 3)), jnp.float32)),
+        "features": dp(jnp.asarray(rng.random((batch, h, w, 1)),
+                                   jnp.float32)),
+        "grid": jax.device_put(
+            G.flatten_grid(G.pixel_grid((h, w))),
+            NamedSharding(mesh, P("grid", None)),
+        ),
+        "target": dp(jnp.asarray(
+            (rng.random((batch, h, w, 1)) > 0.5).astype(np.float32))),
+        "index": jax.device_put(
+            jnp.arange(batch, dtype=jnp.int32), NamedSharding(mesh, P("data"))
+        ),
+    }
+
+    with mesh:
+        s = shard_state(state0)
+        for _ in range(6):
+            s, _ = step(s, batch_data)
+        straight = jax.block_until_ready(s)
+
+        s = shard_state(state0)
+        for _ in range(3):
+            s, _ = step(s, batch_data)
+        jax.block_until_ready(s)
+        d = AgentCheckpoint("resume", params=s).save(str(tmp_path / "ck"))
+        loaded = AgentCheckpoint.load(d, params_template=state0).params
+        assert type(loaded).__name__ == "JointTrainState"
+        s2 = shard_state(loaded)
+        for _ in range(3):
+            s2, _ = step(s2, batch_data)
+        jax.block_until_ready(s2)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(straight), jax.tree_util.tree_leaves(s2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_runner_mesh_config_equal_losses(tmp_path):
     """VERDICT r3 weakness 2: sharding must be a FRAMEWORK feature. The
     same config runs single-device and on a (4, 2) data x grid mesh via
