@@ -302,7 +302,12 @@ class ResultComparison:
                                 if r.config is not None else None)}
             if r.config is not None and r.config.diff_config:
                 for k, v in r.config.diff_config.items():
-                    row[f"cfg:{k}"] = v
+                    # grid sweeps put list/dict values into diff_config
+                    # (e.g. mesh_shape, plot_indices) — unhashable values
+                    # would crash df.groupby, so group on their repr
+                    row[f"cfg:{k}"] = (repr(v)
+                                       if isinstance(v, (list, dict, set))
+                                       else v)
             for m in metric_names:
                 row[m] = r.metric(m, mode, selection=selection,
                                   maximize=maximize)

@@ -179,6 +179,11 @@ class FBMSRunner:
         if label_mode == "multiple_objects":
             # multi-object label mode (`awesome/dataset/label_mode.py`):
             # shared multi-channel UNet + per-frame child priors
+            if cfg.compute_crf_with_metrics:
+                logger.warning(
+                    "compute_crf_with_metrics is not supported by the "
+                    "multi-object eval (per-object unaries); ignoring"
+                )
             return self.train_joint_multi_object(
                 max_objects=int(ds.get("max_objects", 2)),
                 num_epochs=num_epochs or cfg.num_epochs,
@@ -196,6 +201,8 @@ class FBMSRunner:
                 ) if cfg.do_pretraining else 0,
                 scheduler=self._scheduler_from_config(cfg),
                 watchdog_lr=self._watchdog_lr_from_config(cfg),
+                eval_nth_epoch=cfg.compute_metrics_during_training_nth_epoch,
+                eval_epoch0=eval_epoch0,
             )
         return self.train_joint(
             eval_epoch0=eval_epoch0,
@@ -754,66 +761,65 @@ class FBMSRunner:
 
                 return jax.vmap(one)(imgs_, fts_, idx_arr)
 
+            from awesome_tpu.measures.metrics import pixel_accuracy
+
+            def chan_metrics(prob, gts_):
+                # one device call for ALL frames' (IoU, pixel-acc) of one
+                # probability channel — the per-frame float() loop this
+                # replaces paid a blocking host sync per frame per metric
+                gt_fg = gts_ < 0.5
+                iou_v = jax.vmap(lambda o, g: iou(o, g))(prob < 0.5, gt_fg)
+                acc_v = jax.vmap(pixel_accuracy)(prob, gts_)
+                return iou_v, acc_v
+
             cache = {
                 "wrapper": wrapper,
                 "fn": jax.jit(batch_eval),
+                "metrics_fn": jax.jit(chan_metrics),
                 "imgs": jnp.asarray(imgs),
                 "fts": jnp.asarray(fts),
                 "idx": jnp.asarray(np.asarray(indices, np.int32)),
-                "gts": gts,
+                "gts": jnp.asarray(np.stack(gts).astype(np.float32))
+                if gts else None,
+                "n_gt": len(gts),
             }
             self._eval_joint_cache = cache
-        gts = cache["gts"]
-        seg_ious, prior_ious, accs, prior_accs = [], [], [], []
+        seg_ious = prior_ious = accs = prior_accs = []
         crf_ious, crf_accs = [], []
-        if gts:
-            outs = np.asarray(cache["fn"](
+        if cache["n_gt"]:
+            outs = cache["fn"](
                 state.seg_params, state.seg_state, state.prior_params,
                 cache["imgs"], cache["fts"], cache["idx"],
-            ))
-            crf_refined = None
+            )
+            gts_arr = cache["gts"]
+            metrics_fn = cache["metrics_fn"]
+            seg_ious, accs = (np.asarray(v) for v in metrics_fn(
+                outs[..., 0], gts_arr))
+            if outs.shape[-1] > 1:
+                prior_ious, prior_accs = (np.asarray(v) for v in metrics_fn(
+                    outs[..., 1], gts_arr))
             if compute_crf:
                 from awesome_tpu.ops.crf import dense_crf_batched
 
                 # outs[..., 0] is the BACKGROUND probability (fg = 0);
                 # one batched device call refines every GT frame
                 crf_refined = dense_crf_batched(
-                    np.asarray(cache["imgs"]), outs[..., 0],
+                    cache["imgs"], outs[..., 0],
                     is_softmax_unaries=True,
                 )
-            from awesome_tpu.measures.metrics import pixel_accuracy
-
-            for k, gt in enumerate(gts):
-                gt_arr = jnp.asarray(np.asarray(gt))
-                gt_fg = np.asarray(gt) < 0.5
-                seg_ious.append(float(iou(
-                    jnp.asarray(outs[k, :, :, 0] < 0.5),
-                    jnp.asarray(gt_fg))))
-                accs.append(float(pixel_accuracy(
-                    jnp.asarray(outs[k, :, :, 0]), gt_arr)))
-                if outs.shape[-1] > 1:
-                    prior_ious.append(float(iou(
-                        jnp.asarray(outs[k, :, :, 1] < 0.5),
-                        jnp.asarray(gt_fg))))
-                    prior_accs.append(float(pixel_accuracy(
-                        jnp.asarray(outs[k, :, :, 1]), gt_arr)))
-                if crf_refined is not None:
-                    crf_bg = crf_refined[k][..., 0]
-                    crf_ious.append(float(iou(
-                        jnp.asarray(crf_bg < 0.5), jnp.asarray(gt_fg))))
-                    crf_accs.append(float(pixel_accuracy(
-                        jnp.asarray(crf_bg), gt_arr)))
+                crf_ious, crf_accs = (np.asarray(v) for v in metrics_fn(
+                    jnp.asarray(crf_refined)[..., 0], gts_arr))
         metrics = {
             "MeanForegroundBinaryMIOU": float(np.mean(seg_ious))
-            if seg_ious else 0.0,
+            if len(seg_ious) else 0.0,
             "PriorMeanForegroundBinaryMIOU": float(np.mean(prior_ious))
-            if prior_ious else 0.0,
-            "MeanPixelAccuracy": float(np.mean(accs)) if accs else 0.0,
+            if len(prior_ious) else 0.0,
+            "MeanPixelAccuracy": float(np.mean(accs)) if len(accs) else 0.0,
             "num_gt_frames": len(seg_ious),
         }
-        if prior_accs:
+        if len(prior_accs):
             metrics["PriorMeanPixelAccuracy"] = float(np.mean(prior_accs))
-        if crf_ious:
+        if len(crf_ious):
             metrics["CRFMeanForegroundBinaryMIOU"] = float(np.mean(crf_ious))
             metrics["CRFMeanPixelAccuracy"] = float(np.mean(crf_accs))
         return metrics
@@ -836,6 +842,8 @@ class FBMSRunner:
         pretrain_weight_mode: str = "equal",
         scheduler: Optional[Dict] = None,
         watchdog_lr: Optional[float] = None,
+        eval_nth_epoch: Optional[int] = None,
+        eval_epoch0: bool = False,
     ) -> Dict:
         """Multi-object joint training: a shared UNet with one output
         channel per object slot + per-frame child priors
@@ -943,6 +951,47 @@ class FBMSRunner:
         if pretrain_steps:
             state = fit_children(state, pretrain_steps, state.active)
         epoch_fn = jax.jit(make_multi_object_epoch_fn(wrapper, cfg))
+        from awesome_tpu.fit.tracker import Tracker
+
+        tracker = Tracker(
+            primary_metric="MeanForegroundBinaryMIOU"
+            if eval_nth_epoch else "Loss",
+            primary_mode="eval" if eval_nth_epoch else "train",
+            maximize_primary=bool(eval_nth_epoch),
+        )
+        # multi-object runs feed the SAME tracker slot the single-object
+        # joint path uses, so save_joint_results / analytics read either
+        self.joint_tracker = tracker
+        self.joint_wrapper = wrapper
+        self.best_multi_state = None
+
+        def record_eval(epoch: int, st) -> None:
+            """Per-object eval flattened into tracker series (series
+            indexed by TRAINING epoch, like the single-object path)."""
+            self.multi_state = jax.block_until_ready(st)
+            self.multi_wrapper = wrapper
+            self.joint_state = self.multi_state
+            ev = self.evaluate_multi_object()
+            prior_per = ev["prior_iou_per_object"]
+            seg_per = ev["seg_iou_per_object"]
+            tracker.epoch = epoch
+            if seg_per:
+                tracker.epoch_metric(
+                    "MeanForegroundBinaryMIOU",
+                    float(np.mean(list(seg_per.values()))), "eval")
+            if prior_per:
+                tracker.epoch_metric(
+                    "PriorMeanForegroundBinaryMIOU",
+                    float(np.mean(list(prior_per.values()))), "eval")
+            for oid, v in sorted(prior_per.items()):
+                tracker.epoch_metric(f"PriorIoU/obj{oid}", v, "eval")
+            for oid, v in sorted(seg_per.items()):
+                tracker.epoch_metric(f"SegIoU/obj{oid}", v, "eval")
+            if tracker.is_current_state_best_model():
+                self.best_multi_state = st
+
+        if eval_epoch0:
+            record_eval(0, state)
         data = {
             "image": jnp.asarray(images),
             "features": jnp.asarray(feats),
@@ -984,14 +1033,27 @@ class FBMSRunner:
                 float(np.asarray(metrics["loss"]).mean())
                 if sched.needs_loss else None,
             )
-            if watchdog_lr is not None and (
+            watchdog_fired = watchdog_lr is not None and (
                 min(lr, prior_lr) * lr_scale <= watchdog_lr
-            ):
+            )
+            if eval_nth_epoch and ((e + 1) % eval_nth_epoch == 0
+                                   or e + 1 == num_epochs
+                                   or watchdog_fired):
+                tracker.epoch = e + 1
+                tracker.epoch_metric(
+                    "Loss", float(np.asarray(metrics["loss"]).mean()),
+                    "train",
+                )
+                record_eval(e + 1, state)
+            if watchdog_fired:
                 logger.info("LR watchdog stop at epoch %d", e + 1)
                 stopped_early = True
                 break
         self.multi_state = jax.block_until_ready(state)
         self.multi_wrapper = wrapper
+        self.joint_state = self.multi_state
+        if self.best_multi_state is None:
+            self.best_multi_state = self.multi_state
         return {
             "loss": [float(v) for m in losses for v in np.asarray(m).ravel()],
             "growth_events": growth_events,
@@ -1210,10 +1272,18 @@ class FBMSRunner:
             # index_mapping {0: Baseline, 15: Joint})
             self.joint_state = jax.block_until_ready(state)
             self.joint_wrapper = wrapper
+            tracker.epoch = 0  # series indexed by TRAINING epoch
             for k, v in self.evaluate_joint(compute_crf=eval_crf).items():
                 if isinstance(v, float):
                     tracker.epoch_metric(k, v, "eval")
-            tracker.tick_epoch()
+            # the untrained baseline competes for 'best' like any eval
+            # tick — otherwise selection='best' could report the baseline
+            # value while the saved best checkpoint is a different state
+            if eval_nth_epoch and tracker.is_current_state_best_model():
+                self.best_joint_state = state
+                if checkpoint_dir:
+                    self._save_joint_checkpoint(state, checkpoint_dir,
+                                                "best")
         for e in range(num_epochs):
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
@@ -1236,6 +1306,9 @@ class FBMSRunner:
                 # state on the host path (one sync per cadence tick)
                 self.joint_state = jax.block_until_ready(state)
                 self.joint_wrapper = wrapper
+                tracker.epoch = e + 1  # true training epoch, not the
+                # tick count: metric_at_epoch / the notebook's
+                # index_mapping {0: Baseline, 15: Joint} index by epoch
                 tracker.epoch_metric(
                     "Loss", float(np.asarray(metrics["loss"]).mean()),
                     "train",
@@ -1245,7 +1318,6 @@ class FBMSRunner:
                 ).items():
                     if isinstance(v, float):
                         tracker.epoch_metric(k, v, "eval")
-                tracker.tick_epoch()
                 if tracker.is_current_state_best_model():
                     self.best_joint_state = state
                     if checkpoint_dir:

@@ -495,12 +495,16 @@ class AwesomeRunner(Runner):
                         "sss_proxy", "spectral")
                     ex = SemanticSoftSegmentationExtractor(
                         feature_dir or "/nonexistent", proxy=proxy)
+                    # proxy_features degrades internally (device spectral
+                    # -> host spectral -> pyramid PCA, each with its own
+                    # warning); this guard only covers the pyramid path
+                    # itself dying (e.g. scipy unavailable)
                     try:
                         feat = ex.proxy_features(s.image)
                     except Exception as e:
                         logger.warning(
-                            "spectral soft segments failed (%r); 'feat' "
-                            "falls back to RGB-PCA for this image", e)
+                            "every sss proxy failed (%r); 'feat' falls "
+                            "back to RGB-PCA for this image", e)
                         feat = semantic_features(s.image)
                     if key is not None:
                         cache[key] = feat

@@ -636,7 +636,8 @@ def run_howto_convexity(steps_scale: float = 1.0, down_scale: float = 2,
 
 def run_howto_path_connectedness(steps_scale: float = 1.0,
                                  down_scale: float = 2,
-                                 seed: int = 0) -> TeaserResult:
+                                 seed: int = 0,
+                                 return_fit: bool = False) -> TeaserResult:
     """How-to path-connectedness on the shipped scribbled cat.
 
     Spec `how_to/path-connectedness.ipynb`: down2; likelihood = (R-G) >
@@ -692,9 +693,15 @@ def run_howto_path_connectedness(steps_scale: float = 1.0,
     mask = prob < 0.5  # cat fg (fg encoded 0)
     ref = load_mask(os.path.join(TEASER_DIR, "connectedness", "original",
                                  "pc_prior_mask_rescale.png"), (h, w))
+    extra = {"loss": float(aux["loss_hist"][-1])}
+    if return_fit:
+        # for callers that continue with the fitted prior (e.g. the
+        # how-to example's deformation-inverse demo) — NOT serialized by
+        # run_teasers (it keeps only scalar/str extras)
+        extra["fit"] = {"model": model, "params": fitted, "image": img,
+                        "likelihood": likelihood}
     return TeaserResult("howto_path_connectedness", mask_iou(mask, ref),
-                        mask, ref,
-                        {"loss": float(aux["loss_hist"][-1])})
+                        mask, ref, extra)
 
 
 def run_temporal_connectedness(steps_scale: float = 1.0,

@@ -87,8 +87,12 @@ def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
                 jax.devices()
                 state["ok"] = True
                 return
-            except RuntimeError as e:
-                if "UNAVAILABLE" not in str(e) or time.time() > deadline:
+            except Exception as e:  # noqa: BLE001 — any non-retryable
+                # error must reach the main thread, not die in the
+                # thread excepthook and masquerade as a grant timeout
+                retryable = (isinstance(e, RuntimeError)
+                             and "UNAVAILABLE" in str(e))
+                if not retryable or time.time() > deadline:
                     state["err"] = e
                     return
                 print(f"backend unavailable ({e}); retrying in 30 s",

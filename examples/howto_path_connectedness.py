@@ -9,8 +9,11 @@ the path-connected regions. Demonstrates the flagship prior, its prefits
 inverse (visualizing the learned deformation).
 
 Defaults to the reference's own shipped scribbled cat
-(`notebooks/how_to/data/cat_scribbled.jpg`) when present
-(--synthetic for the offline banana scene).
+(`notebooks/how_to/data/cat_scribbled.jpg`) when present — delegating to
+`runner/teaser.py:run_howto_path_connectedness`, the single source of
+truth for that protocol (BCEWithLogits objective, flow-identity prefit,
+anchor-mask scoring) — and to a synthetic banana scene otherwise
+(--synthetic to force it).
 """
 import argparse
 import os
@@ -36,17 +39,53 @@ def make_banana(h=96, w=96):
     return img, band
 
 
-def load_reference_cat(down_scale=4):
-    """The reference's shipped how-to input: scribbled cat photo; fg
-    likelihood = red-scribble extraction (path-connectedness.ipynb)."""
-    from PIL import Image
+def run_cat(args):
+    """The shipped-cat protocol via the teaser replay (exact notebook
+    semantics; scored against the reference's own shipped prior mask)."""
+    from awesome_tpu.runner.teaser import run_howto_path_connectedness
 
-    img = Image.open(REFERENCE_CAT)
-    w, h = img.size
-    img = img.resize((w // down_scale, h // down_scale))
-    arr = (np.asarray(img, np.float64) / 255.0)[..., :3].astype(np.float32)
-    band = (arr[..., 0] - arr[..., 1]) > 0.7  # red scribbles = fg seed
-    return arr, band
+    steps = args.epochs or 4000
+    res = run_howto_path_connectedness(
+        steps_scale=steps / 4000.0, down_scale=4, return_fit=True)
+    fit = res.extra["fit"]
+    print(f"loss {res.extra['loss']:.5f}, "
+          f"IoU vs reference shipped mask {res.iou:.3f}")
+    return (fit["image"], fit["likelihood"], res.mask,
+            fit["model"], fit["params"], "scribble seed")
+
+
+def run_banana(args):
+    import jax
+    import jax.numpy as jnp
+
+    from awesome_tpu.core import grids as G
+    from awesome_tpu.fit import FitConfig, fit_prior
+    from awesome_tpu.fit.prior_fit import learn_flow_identity
+    from awesome_tpu.measures.metrics import iou
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+
+    img, band = make_banana()
+    h, w = band.shape
+    unaries = (1.0 - band).astype(np.float32)  # fg = 0
+
+    model = real_nvp_path_connected_net(
+        channels=2, flow_n_flows=12, flow_output_fn="tanh",
+        spatial_shape=(h, w), hidden_units=32,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    points = G.flatten_grid(G.pixel_grid((h, w)))
+    target = jnp.asarray(unaries).reshape(-1, 1)
+
+    # prefit the flow to the identity (reference prefit_flow_net_identity)
+    params, _ = learn_flow_identity(model, params, points, max_iter=100)
+    cfg = FitConfig(num_steps=args.epochs or 2000, lr=1e-3,
+                    gate_threshold=0.5)
+    fitted, aux = fit_prior(model, params, points, target, cfg)
+    prob = jax.nn.sigmoid(model.apply(fitted, points))
+    score = float(iou(prob > 0.5, target > 0.5, invert=True))
+    print(f"loss {float(aux['loss_hist'][-1]):.5f}, fit IoU {score:.3f}")
+    mask = np.asarray(prob).reshape(h, w) < 0.5
+    return img, band, mask, model, fitted, "ground truth"
 
 
 def main():
@@ -60,77 +99,23 @@ def main():
                         "cat image is present")
     args = p.parse_args()
 
-    import jax
     import jax.numpy as jnp
 
     from awesome_tpu.core import grids as G
-    from awesome_tpu.fit import FitConfig, fit_prior
-    from awesome_tpu.fit.prior_fit import learn_flow_identity
-    from awesome_tpu.measures.metrics import iou
-    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
     from awesome_tpu.runner.functions import plot_mask
 
     on_cat = not args.synthetic and os.path.exists(REFERENCE_CAT)
-    if on_cat:
-        img, band = load_reference_cat()
-    else:
-        img, band = make_banana()
-    h, w = band.shape
-    unaries = (1.0 - band).astype(np.float32)  # fg = 0
+    img, band, mask, model, fitted, band_name = (
+        run_cat(args) if on_cat else run_banana(args))
 
-    model = real_nvp_path_connected_net(
-        channels=2, flow_n_flows=10 if on_cat else 12,
-        flow_output_fn="tanh", spatial_shape=(h, w),
-        **({"convex_net_hidden_layers": 2} if on_cat
-           else {"hidden_units": 32}),
-    )
-    params = model.init(jax.random.PRNGKey(0))
-    points = G.flatten_grid(G.pixel_grid((h, w)))
-    target = jnp.asarray(unaries).reshape(-1, 1)
-
-    # prefit the flow to the identity (reference prefit_flow_net_identity)
-    params, _ = learn_flow_identity(model, params, points, max_iter=100)
-
-    if on_cat:
-        # the notebook's asymmetric objective: fg_weight 0.3 makes the
-        # prior GROW from the thin scribble seed instead of carving it
-        # (how_to/path-connectedness.ipynb; runner/teaser.py replays the
-        # exact protocol and scores 0.81 vs the shipped anchor mask)
-        cfg = FitConfig(num_steps=args.epochs or 4000, lr=2e-3,
-                        optimizer="adam", fg_weight=0.3,
-                        flow_weight_decay=1e-5, plateau_patience=10**6)
-    else:
-        cfg = FitConfig(num_steps=args.epochs or 2000, lr=1e-3,
-                        gate_threshold=0.5)
-    fitted, aux = fit_prior(model, params, points, target, cfg)
-    prob = jax.nn.sigmoid(model.apply(fitted, points))
-    if on_cat:
-        # score against the reference's own shipped prior mask for this
-        # image (the connectedness teaser's, same image + prior family)
-        from awesome_tpu.runner.teaser import TEASER_DIR, load_mask, mask_iou
-
-        anchor = os.path.join(TEASER_DIR, "connectedness", "original",
-                              "pc_prior_mask_rescale.png")
-        if os.path.exists(anchor):
-            ref = load_mask(anchor, (h, w))
-            score = mask_iou(np.asarray(prob).reshape(h, w) < 0.5, ref)
-        else:
-            score = float("nan")
-        label = "IoU vs reference shipped mask"
-    else:
-        score = float(iou(prob > 0.5, target > 0.5, invert=True))
-        label = "fit IoU"
-    print(f"loss {float(aux['loss_hist'][-1]):.5f}, {label} {score:.3f}")
-
-    mask = np.asarray(prob).reshape(h, w) < 0.5
     os.makedirs(args.out, exist_ok=True)
-    band_name = "scribble seed" if on_cat else "ground truth"
     plot_mask(img, band, variable_name=band_name,
               path=os.path.join(args.out, "gt.png"))
     plot_mask(img, mask, variable_name="path-connected prior",
               path=os.path.join(args.out, "mask.png"))
 
     # the learned deformation is invertible — map the deformed grid back
+    points = G.flatten_grid(G.pixel_grid(mask.shape))
     xd = model.deformation(fitted, points)
     back = model.inverse(fitted, xd)
     err = float(jnp.abs(back - points).max())

@@ -178,3 +178,11 @@ def test_grouped_mean_std_table(tmp_path):
     assert df.iloc[0]["n_runs"] == 2
     assert "±" in df.iloc[0][metric]
     assert "1" in df.iloc[0]["seeds"] and "7" in df.iloc[0]["seeds"]
+
+    # list-valued diff_config fields (grid sweeps over e.g. mesh_shape)
+    # must not crash the groupby — they group on their repr
+    for r in results:
+        r.config.diff_config = {"mesh_shape": [2, 4]}
+    df2 = comp.grouped_table([metric])
+    assert len(df2) == 1 and df2.iloc[0]["n_runs"] == 2
+    assert df2.iloc[0]["cfg:mesh_shape"] == repr([2, 4])

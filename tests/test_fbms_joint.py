@@ -260,7 +260,9 @@ def test_fbms_eval_table_roundtrip(tmp_path):
     cfg, _ = load_reference_config(path)
     cfg.runs_path = str(tmp_path / "runs")
     cfg.compute_crf_with_metrics = True
-    cfg.compute_metrics_during_training_nth_epoch = 1
+    # cadence 2: eval ticks at epoch 2 (cadence) and 3 (final) — the
+    # series must be indexed by TRAINING epoch, not by tick count
+    cfg.compute_metrics_during_training_nth_epoch = 2
     cfg.prior_model_args.update(
         hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
         convex_net_hidden_layers=1,
@@ -268,7 +270,7 @@ def test_fbms_eval_table_roundtrip(tmp_path):
     seq = _write_sequence(tmp_path)
     runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
     runner.build()
-    res = runner.train_joint_from_config(num_epochs=2, eval_epoch0=True)
+    res = runner.train_joint_from_config(num_epochs=3, eval_epoch0=True)
     assert np.isfinite(res["loss"]).all()
     out = runner.save_joint_results(str(tmp_path / "run_dir"))
 
@@ -277,6 +279,12 @@ def test_fbms_eval_table_roundtrip(tmp_path):
     joint = m.metric("MeanForegroundBinaryMIOU", selection="last")
     assert base is not None and 0.0 <= base <= 1.0
     assert joint is not None and 0.0 <= joint <= 1.0
+    # the notebook's epoch indexing: baseline 0, evals at true epochs
+    s = runner.joint_tracker.series[
+        ("MeanForegroundBinaryMIOU", "epoch", "eval")]
+    assert s.steps == [0, 2, 3], s.steps
+    assert m.metric_at_epoch("MeanForegroundBinaryMIOU", 1) is None
+    assert m.metric_at_epoch("MeanForegroundBinaryMIOU", 3) == joint
     # CRF columns recorded at every eval tick incl. the baseline
     crf0 = m.metric_at_epoch("CRFMeanForegroundBinaryMIOU", 0)
     assert crf0 is not None and 0.0 <= crf0 <= 1.0

@@ -266,13 +266,35 @@ def test_label_mode_multiple_objects_config_dispatch(seq_path):
         pretrain_args={"num_epochs": 30},
         optimizer_args={"lr": 1e-3},
     )
+    cfg.compute_metrics_during_training_nth_epoch = 1
     runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq_path)
     runner.build()
-    res = runner.train_joint_from_config()
+    res = runner.train_joint_from_config(eval_epoch0=True)
     assert np.isfinite(res["loss"]).all()
     assert hasattr(runner, "multi_state")
     # both slots active, per-frame children present
     assert np.asarray(runner.multi_state.active).all()
+
+    # the multi-object branch consumes the eval flags like the
+    # single-object one: epoch-0 baseline + per-epoch evals land in the
+    # joint tracker (indexed by TRAINING epoch), so save_joint_results
+    # and the analytics table layer work on multi-object runs too
+    tr = runner.joint_tracker
+    s = tr.series.get(("MeanForegroundBinaryMIOU", "epoch", "eval"))
+    assert s is not None and s.steps == [0, 1], (s and s.steps)
+    ps = tr.series.get(
+        ("PriorMeanForegroundBinaryMIOU", "epoch", "eval"))
+    assert ps is not None and ps.steps == [0, 1]
+
+    import tempfile
+
+    from awesome_tpu.analytics.result_model import ResultModel
+
+    with tempfile.TemporaryDirectory() as d:
+        out = runner.save_joint_results(os.path.join(d, "run"))
+        m = ResultModel.from_path(out)
+        base = m.metric_at_epoch("PriorMeanForegroundBinaryMIOU", 0)
+        assert base is not None and 0.0 <= base <= 1.0
 
 
 def test_gt_mapping_empty_weak_labels():
