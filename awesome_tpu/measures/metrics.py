@@ -43,6 +43,52 @@ def iou(
     return jnp.where(union > 0, inter / jnp.maximum(union, eps + 1.0e-30), 0.0)
 
 
+def iou_np(
+    output,
+    target,
+    invert: bool = False,
+    noneclass: Optional[float] = None,
+    noneclass_replacement: float = 0.0,
+) -> float:
+    """Host-side numpy twin of :func:`iou` (same thresholds, inversion,
+    noneclass masking, and all-zero-union -> 0.0 convention).
+
+    For per-image host loops over heterogeneous shapes (runner eval):
+    the jnp version dispatches an eager device computation + sync per
+    call, which on the tunneled chip costs ~ms each. Parity with the
+    device version is test-locked (tests/test_measures.py)."""
+    import numpy as _np
+
+    o = _np.asarray(output, _np.float32)
+    t = _np.asarray(target, _np.float32)
+    if noneclass is not None:
+        o = _np.where(t == noneclass, noneclass_replacement, o)
+        t = _np.where(t == noneclass, noneclass_replacement, t)
+    if invert:
+        o = 1.0 - o
+        t = 1.0 - t
+    o = o > 0.5
+    t = t > 0.5
+    union = _np.logical_or(o, t).sum()
+    if union == 0:
+        return 0.0
+    return float(_np.logical_and(o, t).sum() / union)
+
+
+def pixel_accuracy_np(output, target,
+                      noneclass: Optional[float] = None) -> float:
+    """Host-side numpy twin of :func:`pixel_accuracy`."""
+    import numpy as _np
+
+    o = _np.asarray(output) > 0.5
+    t = _np.asarray(target) > 0.5
+    match = (o == t).astype(_np.float32)
+    if noneclass is not None:
+        valid = (_np.asarray(target) != noneclass)
+        return float((match * valid).sum() / max(valid.sum(), 1.0))
+    return float(match.mean())
+
+
 def miou(outputs, targets, invert: bool = False, axis=None):
     """Mean IoU over a leading batch axis of (B, ...) mask stacks."""
     import jax

@@ -570,7 +570,7 @@ class FBMSRunner:
         import jax.numpy as jnp
 
         from awesome_tpu.fit.spatiotemporal import sequence_points
-        from awesome_tpu.measures.metrics import iou
+        from awesome_tpu.measures.metrics import iou_np
 
         points = sequence_points(self.shape, len(self.dataset))
         indices, gts = [], []
@@ -587,10 +587,8 @@ class FBMSRunner:
             ))(points[jnp.asarray(np.asarray(indices))]))
             for k, gt in enumerate(gts):
                 prob = probs[k].reshape(self.shape)
-                ious.append(
-                    float(
-                        iou(prob < 0.5, jnp.asarray(gt) < 0.5)
-                    )  # fg = 0 on both sides
+                ious.append(  # fg = 0 on both sides; host numpy metric
+                    iou_np(prob < 0.5, np.asarray(gt) < 0.5)
                 )
         return {
             "MeanForegroundBinaryMIOU": float(np.mean(ious)) if ious else 0.0,
@@ -1070,7 +1068,7 @@ class FBMSRunner:
         from awesome_tpu.core import grids as G
         from awesome_tpu.data.fbms import weak_label_id_gt_mapping
         from awesome_tpu.data.image_sample import edge_map
-        from awesome_tpu.measures.metrics import iou
+        from awesome_tpu.measures.metrics import iou_np
 
         state = self.multi_state
         wrapper = self.multi_wrapper
@@ -1114,12 +1112,14 @@ class FBMSRunner:
                 if gt_id is None or gt_id == 0 or gt_id not in gt_by_id:
                     continue
                 gt_mask = gt_by_id[gt_id]
-                per_object.setdefault(int(oid), []).append(float(iou(
-                    jnp.asarray(prior[..., k] < 0.5), jnp.asarray(gt_mask)
-                )))
-                seg_per_object.setdefault(int(oid), []).append(float(iou(
-                    jnp.asarray(seg[..., k] < 0.5), jnp.asarray(gt_mask)
-                )))
+                # host numpy metrics: every input is already host-side
+                # and the jnp path would sync per (frame, object)
+                per_object.setdefault(int(oid), []).append(iou_np(
+                    prior[..., k] < 0.5, gt_mask
+                ))
+                seg_per_object.setdefault(int(oid), []).append(iou_np(
+                    seg[..., k] < 0.5, gt_mask
+                ))
         return {
             "prior_iou_per_object": {
                 k: float(np.mean(v)) for k, v in per_object.items()

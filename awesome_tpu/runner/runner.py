@@ -1223,7 +1223,7 @@ class AwesomeRunner(Runner):
         for all images. Spec: `awesome/run/handles.py:339-477`
         get_compute_eval_metrics (+CRF via `run/handles.py:376-459`,
         `run/crf.py:45`)."""
-        from awesome_tpu.measures.metrics import iou, pixel_accuracy
+        from awesome_tpu.measures.metrics import iou_np, pixel_accuracy_np
 
         if compute_crf is None:
             compute_crf = self.config.compute_crf_with_metrics
@@ -1251,12 +1251,14 @@ class AwesomeRunner(Runner):
                 out[:, 1:2] if out.shape[1] > 1 else None
             )
             gt = s.gt.reshape(-1, 1)
-            # fg encoded as 0 -> invert for fg IoU
-            seg_ious.append(float(iou(seg > 0.5, gt > 0.5, invert=True)))
-            accs.append(float(pixel_accuracy(seg, gt)))
+            # fg encoded as 0 -> invert for fg IoU; host numpy metrics —
+            # images here have heterogeneous shapes (no single vmapped
+            # call) and the jnp path would pay a device sync per image
+            seg_ious.append(iou_np(seg > 0.5, gt > 0.5, invert=True))
+            accs.append(pixel_accuracy_np(seg, gt))
             if prior is not None:
                 prior_ious.append(
-                    float(iou(prior > 0.5, gt > 0.5, invert=True))
+                    iou_np(prior > 0.5, gt > 0.5, invert=True)
                 )
             if compute_crf:
                 # seg probability of BACKGROUND (fg=0 encoding); CRF refines
@@ -1271,7 +1273,7 @@ class AwesomeRunner(Runner):
                     )
                 crf_mask = refined[..., 0].reshape(-1, 1)
                 crf_ious.append(
-                    float(iou(crf_mask > 0.5, gt > 0.5, invert=True))
+                    iou_np(crf_mask > 0.5, gt > 0.5, invert=True)
                 )
         metrics = {
             "MeanForegroundBinaryMIOU": float(np.mean(seg_ious)),

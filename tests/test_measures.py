@@ -115,3 +115,33 @@ def test_gradient_penalty_runs():
     base = L.gradient_penalty(model_fn, x, t)
     with_pen = L.gradient_penalty(model_fn, x, t, xy_weight=1.0)
     assert float(with_pen) > float(base)
+
+
+def test_iou_np_parity_with_device_iou():
+    """The host numpy twins used by the runner eval loops must match the
+    jnp metrics bit-for-bit across thresholds, inversion, noneclass
+    masking, and the all-zero-union convention."""
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        o = rng.random((13, 17)).astype(np.float32)
+        t = (rng.random((13, 17)) > 0.5).astype(np.float32)
+        np.testing.assert_allclose(
+            M.iou_np(o, t), float(M.iou(o, t)), rtol=1e-6)
+        np.testing.assert_allclose(
+            M.iou_np(o, t, invert=True),
+            float(M.iou(o, t, invert=True)), rtol=1e-6)
+        np.testing.assert_allclose(
+            M.pixel_accuracy_np(o, t),
+            float(M.pixel_accuracy(o, t)), rtol=1e-6)
+    # noneclass masking
+    t2 = t.copy()
+    t2[0, :] = 0.5
+    np.testing.assert_allclose(
+        M.iou_np(o, t2, noneclass=0.5),
+        float(M.iou(o, t2, noneclass=0.5)), rtol=1e-6)
+    np.testing.assert_allclose(
+        M.pixel_accuracy_np(o, t2, noneclass=0.5),
+        float(M.pixel_accuracy(o, t2, noneclass=0.5)), rtol=1e-6)
+    # all-zero union -> 0.0 (sklearn convention)
+    z = np.zeros((4, 4))
+    assert M.iou_np(z, z) == float(M.iou(z, z)) == 0.0
