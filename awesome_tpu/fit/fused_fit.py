@@ -62,7 +62,7 @@ def make_fused_fit_fn(
     def fit(params, points, target_points, active=True, point_mask=None):
         weights = make_point_weights(target_points, cfg, point_mask)
         packed = pack_flagship(model, params)
-        wd = packed_weight_decay(model, packed, cfg.flow_weight_decay)
+        wd = packed_weight_decay(packed, cfg.flow_weight_decay)
         opt_state = init_fn(packed)
         sched = optim.plateau_init(cfg.dtype)
 
@@ -144,7 +144,7 @@ def make_grouped_fused_fit_fn(
                 lambda t, m: make_point_weights(t, cfg, m)
             )(stacked_targets, point_masks)
         packed = jax.vmap(lambda p: pack_flagship(model, p))(stacked_params)
-        wd = packed_weight_decay(model, packed, cfg.flow_weight_decay)
+        wd = packed_weight_decay(packed, cfg.flow_weight_decay)
         opt_state = init_fn(packed)
         sched = optim.plateau_init(cfg.dtype)
 

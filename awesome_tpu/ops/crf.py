@@ -269,6 +269,10 @@ def dense_crf_batched(
     single_channel = unaries.shape[-1] == 1
     if single_channel:
         unaries = np.concatenate([unaries, 1.0 - unaries], axis=-1)
+    if imgs.shape[0] == 0:
+        # empty batch: the per-image prep loop below would leave its
+        # accumulators empty and np.stack would raise an unrelated error
+        return np.zeros(unaries.shape, np.float32)
     if options is None:
         options = CRFOptions()
     flat_list, sig_list = [], []

@@ -28,7 +28,6 @@ the XLA path.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Tuple
 
@@ -37,13 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # pallas TPU backend may be unavailable on CPU test runs
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
+# NOTE: this kernel has NO CPU fallback of its own — off-TPU callers must
+# pass interpret=True (tests do; see tests/test_pallas_flagship.py)
 
 TILE_N = 2048
 
@@ -456,6 +450,11 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
 
     def f(packed, x, target, point_weights):
         n = x.shape[0]
+        if n == 0:
+            # a 0-point input would launch a 0-size grid: the kernel
+            # body (incl. the first-tile zero-init) never runs and the
+            # output buffers come back UNINITIALIZED — fail loudly
+            raise ValueError("flagship kernel needs at least one point")
         pad = (-n) % tile_n
         x_t = jnp.pad(x, ((0, pad), (0, 0))).T  # (2, Np)
         if group > 1:
@@ -525,7 +524,7 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
 # --- packed-state helpers for the fit engine -------------------------------
 
 
-def packed_weight_decay(model, packed: dict, flow_weight_decay: float) -> dict:
+def packed_weight_decay(packed: dict, flow_weight_decay: float) -> dict:
     """Per-buffer weight decay: flow buffers get ``flow_weight_decay``
     (the reference's optimizer param groups,
     `awesome/model/path_connected_net.py:913-918`), everything else 0."""

@@ -53,6 +53,15 @@ except Exception:  # pragma: no cover
 TILE_N = 2048
 
 
+def _mm(a, b):
+    """All kernel matmuls route here (same policy as pallas_flagship.mm):
+    f32 accumulate on the MXU, precision PINNED to DEFAULT — under an
+    ambient ``jax.default_matmul_precision('highest')`` Mosaic would
+    expand every dot into f32-emulation passes and overflow scoped VMEM."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
 def _icnn_kernel(n_layers: int, x_ref, w_in_ref, b_in_ref,
                  *refs):
     """Fused ConvexNextNet forward for one point tile, TRANSPOSED layout.
@@ -70,8 +79,7 @@ def _icnn_kernel(n_layers: int, x_ref, w_in_ref, b_in_ref,
     layer_refs = refs[:-1]
     x = x_ref[...]  # (2, T)
     h = jnp.maximum(
-        jnp.dot(w_in_ref[...], x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+        _mm(w_in_ref[...], x)
         + b_in_ref[...],
         0.0,
     )
@@ -80,22 +88,18 @@ def _icnn_kernel(n_layers: int, x_ref, w_in_ref, b_in_ref,
         b_ln = layer_refs[3 * i + 1][...]
         w_sk = layer_refs[3 * i + 2][...]
         h = jnp.maximum(
-            jnp.dot(w_ln, h, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+            _mm(w_ln, h)
             + b_ln
-            + jnp.dot(w_sk, x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT),
+            + _mm(w_sk, x),
             0.0,
         )
     w_out = layer_refs[3 * n_layers][...]
     b_out = layer_refs[3 * n_layers + 1][...]
     w_osk = layer_refs[3 * n_layers + 2][...]
     out_ref[...] = (
-        jnp.dot(w_out, h, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+        _mm(w_out, h)
         + b_out
-        + jnp.dot(w_osk, x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+        + _mm(w_osk, x)
     )
 
 
@@ -197,8 +201,7 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
     # ---- recompute forward, keeping activations (all VMEM) ----
     w_in, b_in = w_refs[0][...], w_refs[1][...]
     pre = []
-    h = jnp.dot(w_in, x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT) + b_in
+    h = _mm(w_in, x) + b_in
     pre.append(h)
     h = jnp.maximum(h, 0.0)
     acts = [h]
@@ -207,11 +210,9 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
         b_ln = w_refs[3 + 3 * i][...]
         w_sk = w_refs[4 + 3 * i][...]
         z = (
-            jnp.dot(w_ln, h, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+            _mm(w_ln, h)
             + b_ln
-            + jnp.dot(w_sk, x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+            + _mm(w_sk, x)
         )
         pre.append(z)
         h = jnp.maximum(z, 0.0)
@@ -230,17 +231,13 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
     # out layer: y = w_out @ h_last + b_out + w_osk @ x
     h_last = acts[-1]
     acc(dw_refs[2 + 3 * n_layers],
-        jnp.dot(g, h_last.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT))  # dW_out
+        _mm(g, h_last.T))  # dW_out
     acc(dw_refs[3 + 3 * n_layers],
         jnp.sum(g, axis=1, keepdims=True))  # db_out
     acc(dw_refs[4 + 3 * n_layers],
-        jnp.dot(g, x.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT))  # dW_osk
-    dh = jnp.dot(w_out.T, g, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-    dx = jnp.dot(w_osk.T, g, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+        _mm(g, x.T))  # dW_osk
+    dh = _mm(w_out.T, g)
+    dx = _mm(w_osk.T, g)
 
     for i in reversed(range(n_layers)):
         dz = dh * (pre[i + 1] > 0.0)
@@ -248,23 +245,17 @@ def _icnn_bwd_kernel(n_layers: int, x_ref, g_ref, *refs):
         w_sk = w_refs[4 + 3 * i][...]
         h_prev = acts[i]
         acc(dw_refs[2 + 3 * i],
-            jnp.dot(dz, h_prev.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT))
+            _mm(dz, h_prev.T))
         acc(dw_refs[3 + 3 * i], jnp.sum(dz, axis=1, keepdims=True))
         acc(dw_refs[4 + 3 * i],
-            jnp.dot(dz, x.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT))
-        dh = jnp.dot(w_ln.T, dz, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-        dx = dx + jnp.dot(w_sk.T, dz, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+            _mm(dz, x.T))
+        dh = _mm(w_ln.T, dz)
+        dx = dx + _mm(w_sk.T, dz)
 
     dz0 = dh * (pre[0] > 0.0)
-    acc(dw_refs[0], jnp.dot(dz0, x.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT))
+    acc(dw_refs[0], _mm(dz0, x.T))
     acc(dw_refs[1], jnp.sum(dz0, axis=1, keepdims=True))
-    dx = dx + jnp.dot(w_in.T, dz0, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+    dx = dx + _mm(w_in.T, dz0)
     dx_ref[...] = dx
 
 

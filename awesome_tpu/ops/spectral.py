@@ -142,6 +142,15 @@ def smallest_eigenvectors(
     """
     h, w = stencil.shape[:2]
     n = h * w
+    # LOBPCG requires search_dim * 5 < n (jax lobpcg_standard precondition)
+    # — fail with the actual constraint instead of its opaque ValueError,
+    # so callers (sss_extractor degrades to the host path) can react
+    if (k + oversample) * 5 >= n:
+        raise ValueError(
+            f"image too small for the device eigensolve: need "
+            f"h*w > {(k + oversample) * 5} for k={k} (+{oversample} "
+            f"oversample), got {h}x{w}={n}; use the host spectral path"
+        )
     dtype = stencil.dtype
     c = jnp.abs(stencil).sum(axis=(2, 3)).max()
 

@@ -133,3 +133,18 @@ def test_per_image_crf_reuses_one_program_per_bucket():
         assert out.shape == (24, 20, 1)
     added = C._mean_field_batched._cache_size() - before
     assert added == 1, f"expected 1 compile for 4 same-size images, got {added}"
+
+
+def test_dense_crf_batched_empty_batch():
+    """B=0 returns an empty (0, H, W, 2) result instead of crashing in
+    the per-image prep loop."""
+    import numpy as np
+
+    from awesome_tpu.ops.crf import dense_crf_batched
+
+    out = dense_crf_batched(
+        np.zeros((0, 8, 8, 3), np.float32),
+        np.zeros((0, 8, 8), np.float32),
+        is_softmax_unaries=True,
+    )
+    assert out.shape == (0, 8, 8, 2)

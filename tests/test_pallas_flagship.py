@@ -123,3 +123,28 @@ def test_packed_enforce_convexity():
         np.asarray(unpack_flagship(model, clipped)["convex"]["skip"][0]["ln"]["w"]),
         np.asarray(tree_clipped["convex"]["skip"][0]["ln"]["w"]),
     )
+
+
+def test_flagship_rejects_zero_points():
+    """A 0-point input would launch a 0-size grid and return
+    uninitialized buffers — it must raise instead."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from awesome_tpu.nn.path_connected import real_nvp_path_connected_net
+    from awesome_tpu.ops.pallas_flagship import (
+        make_flagship_loss_grad,
+        pack_flagship,
+    )
+
+    model = real_nvp_path_connected_net(
+        channels=2, hidden_units=8, flow_n_flows=2, flow_output_fn="tanh",
+        spatial_shape=(8, 8), convex_net_hidden_units=12,
+        convex_net_hidden_layers=1,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    packed = pack_flagship(model, params)
+    f = make_flagship_loss_grad(model, interpret=True)
+    with pytest.raises(ValueError, match="at least one point"):
+        f(packed, jnp.zeros((0, 2)), jnp.zeros((0, 1)), jnp.zeros((0, 1)))

@@ -213,3 +213,17 @@ def test_extractor_spectral_device_proxy():
                                            proxy="spectral_device")
     np.testing.assert_array_equal(
         ex.extract(img, "a"), spectral_soft_segments_device(img, 2))
+
+
+def test_device_eigensolve_rejects_tiny_images():
+    """Images below LOBPCG's search_dim*5 < n precondition fail with the
+    actual constraint spelled out (the extractor then degrades to the
+    host path)."""
+    import numpy as np
+    import pytest
+
+    from awesome_tpu.ops.spectral import spectral_soft_segments_device
+
+    with pytest.raises(ValueError, match="too small"):
+        spectral_soft_segments_device(
+            np.random.default_rng(0).random((5, 5, 3)).astype(np.float32))
