@@ -124,6 +124,9 @@ class Tracker:
             "primary_metric": self.primary_metric,
             "primary_mode": self.primary_mode,
             "maximize_primary": self.maximize_primary,
+            # best-model gate state: without it a resumed run would re-save
+            # 'best' on the first post-resume tick even when worse
+            "best_primary": self._best_primary,
             "series": [dataclasses.asdict(s) for s in self.series.values()],
         }
 
@@ -136,6 +139,7 @@ class Tracker:
         )
         t.global_step = d.get("global_step", 0)
         t.epoch = d.get("epoch", 0)
+        t._best_primary = d.get("best_primary")
         for s in d.get("series", []):
             ms = MetricSeries(**s)
             t.series[(ms.name, ms.scope, ms.mode)] = ms

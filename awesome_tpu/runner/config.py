@@ -303,6 +303,14 @@ class AwesomeConfig(Config):
     # reference has NO equivalent (its scale-out is SLURM job files,
     # `awesome/run/multi_runner.py:106-236`).
     mesh_shape: Optional[List[int]] = None
+    # auto-resume: pick up training from the newest full train-state
+    # checkpoint in <output_folder>/checkpoints (written at the runner's
+    # nth-epoch 'latest' saves) and continue to num_epochs. Preemption-safe
+    # production path; the resumed run is bit-identical to an uninterrupted
+    # one (tests/test_resume.py). The reference can only reload checkpoints
+    # post-hoc for analytics (`awesome/agent/torch_agent.py:1090-1136`
+    # from_acc/load_acc) — it has no mid-run resume.
+    resume: bool = False
 
     def prepare(self) -> None:
         super().prepare()

@@ -956,6 +956,17 @@ class AwesomeRunner(Runner):
             segment = make_pixel_segment_fn(
                 self.wrapper, tcfg, seg_len, loss_impl=self._make_loss_impl()
             )
+        # auto-resume BEFORE mesh placement: the freshly-built state is the
+        # restore template; the resumed host arrays then shard exactly like
+        # a cold start would
+        kind = "shared" if shared_mode else "pixel"
+        start_seg = 0
+        if cfg.resume:
+            resumed = self._try_resume(state, kind, seg_len, num_epochs)
+            if resumed is not None:
+                state, start_epoch = resumed
+                self.stacked_params = state.params
+                start_seg = start_epoch // seg_len
         if mesh is not None:
             # per-image state (params / moments / schedules, stacked over
             # B) shards over 'data'; shared-seg leaves replicate
@@ -976,13 +987,16 @@ class AwesomeRunner(Runner):
         trainable = jnp.asarray(trainable)
 
         # training_starts handles: initial eval metrics (+ CRF if configured)
-        if cfg.compute_metrics_during_training_nth_epoch:
-            self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
-        self._maybe_dump_images(epoch=0)
+        # — already in the restored tracker when resuming mid-run
+        if start_seg == 0:
+            if cfg.compute_metrics_during_training_nth_epoch:
+                self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
+            self._maybe_dump_images(epoch=0)
 
         loss_chunks = []
         stopped_early = False
-        for seg_i in range(num_epochs // seg_len):
+        epoch = start_seg * seg_len
+        for seg_i in range(start_seg, num_epochs // seg_len):
             state, aux = segment(state, px, gt, smask, rmask, trainable)
             self.stacked_params = state.params
             epoch = (seg_i + 1) * seg_len
@@ -1025,7 +1039,8 @@ class AwesomeRunner(Runner):
                 self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
             self._maybe_dump_images(epoch)
             if epoch % self.CHECKPOINT_NTH_EPOCH == 0:
-                self.save_checkpoint("latest")
+                self.save_checkpoint("latest", state=state, epoch=epoch,
+                                     state_kind=kind)
 
             # LR watchdog early stop: every image's plateau scale under the
             # threshold means every per-image fit is frozen
@@ -1048,7 +1063,8 @@ class AwesomeRunner(Runner):
         )
         if self.best_params is None:
             self.best_params = state.params
-        self.save_checkpoint("end")
+        self.save_checkpoint("end", state=state, epoch=epoch,
+                             state_kind=kind)
         # final-save handle: plot_final_indices (-1 = all images)
         final_idx = cfg.plot_final_indices
         if final_idx is not None:
@@ -1071,13 +1087,85 @@ class AwesomeRunner(Runner):
             "final_metrics": final_metrics,
         }
 
+    def _try_resume(self, template_state, kind: str, seg_len: int,
+                    num_epochs: int):
+        """Locate the newest resumable checkpoint under
+        ``<output_folder>/checkpoints`` and restore the full train state.
+
+        Returns ``(state, epoch)`` or ``None`` when nothing resumable
+        exists. The resumed trajectory is bit-identical to an
+        uninterrupted run (tests/test_resume.py): the NamedTuple state
+        carries params, optimizer moments, plateau schedule and the
+        absolute epoch counter, and the tracker (including its best-model
+        gate) is restored from the checkpoint metadata."""
+        import json as _json
+
+        from awesome_tpu.fit.checkpoint import load_pytree, pytree_exists
+        from awesome_tpu.fit.tracker import Tracker
+
+        base = os.path.join(self.output_folder, "checkpoints")
+        best = None  # (epoch, directory, meta)
+        for tag in ("latest", "end"):
+            d = os.path.join(base, tag)
+            mp = os.path.join(d, "meta.json")
+            if not (os.path.exists(mp)
+                    and pytree_exists(os.path.join(d, "train_state"))):
+                continue
+            with open(mp) as f:
+                meta = _json.load(f)
+            ex = meta.get("extra") or {}
+            ep = int(ex.get("epoch", -1))
+            if ex.get("state_kind") != kind or ep <= 0:
+                continue
+            if best is None or ep > best[0]:
+                best = (ep, d, meta)
+        if best is None:
+            logger.info("resume requested but no resumable checkpoint "
+                        "under %s — starting fresh", base)
+            return None
+        ep, d, meta = best
+        if ep % seg_len:
+            raise ValueError(
+                f"resume checkpoint at epoch {ep} is not aligned to the "
+                f"segment length {seg_len} — a cadence/num_epochs config "
+                "change since the checkpoint was written is not resumable"
+            )
+        ep = min(ep, num_epochs)
+        restored = load_pytree(os.path.join(d, "train_state"),
+                               template=tuple(template_state))
+        state = type(template_state)(*restored)
+        if meta.get("tracker"):
+            self.tracker = Tracker.from_dict(meta["tracker"])
+        bdir = os.path.join(base, "best")
+        if os.path.exists(os.path.join(bdir, "meta.json")):
+            try:
+                self.best_params = load_pytree(
+                    os.path.join(bdir, "params"), template=state.params
+                )
+            except Exception:
+                logger.warning(
+                    "best checkpoint unreadable; best-model restarts"
+                )
+        logger.info("Resuming %s from %s at epoch %d",
+                    self.config.run_name, d, ep)
+        return state, ep
+
     # --- saving / image dumps ---------------------------------------------
-    def save_checkpoint(self, tag: str) -> str:
+    def save_checkpoint(self, tag: str, state=None, epoch=None,
+                        state_kind=None) -> str:
         """Agent-checkpoint save (params + tracker + config snapshot).
-        Spec: `awesome/run/handles.py:195-232` save/prior-save handles."""
+        Spec: `awesome/run/handles.py:195-232` save/prior-save handles.
+
+        When the full train ``state`` (PixelTrainState / SharedTrainState
+        NamedTuple) and the absolute ``epoch`` are given, the whole state —
+        optimizer moments, plateau schedule, epoch counters — is persisted
+        alongside, making the checkpoint RESUMABLE (``AwesomeConfig.resume``),
+        not just analyzable. The reference's checkpoints only ever reload
+        params post-hoc (`awesome/agent/torch_agent.py:1090-1136`)."""
         from awesome_tpu.fit.checkpoint import (
             AgentCheckpoint,
             save_prior_cache,
+            save_pytree,
         )
         from awesome_tpu.serialization.jsonconv import to_jsonable
 
@@ -1086,12 +1174,21 @@ class AwesomeRunner(Runner):
             self.best_params if tag == "best" and self.best_params is not None
             else self.stacked_params
         )
+        extra = {}
+        if epoch is not None:
+            extra["epoch"] = int(epoch)
+        if state_kind is not None:
+            extra["state_kind"] = state_kind
         AgentCheckpoint(
             name=self.config.run_name,
             params=params,
             tracker=self.tracker.to_dict(),
             config=to_jsonable(self.config),
+            extra=extra,
         ).save(directory)
+        if state is not None:
+            # plain tuple: robust through Orbax's dict round trip
+            save_pytree(tuple(state), os.path.join(directory, "train_state"))
         if isinstance(params, dict) and "prior" in params:
             save_prior_cache(
                 params["prior"], os.path.join(directory, "prior_cache.npz")

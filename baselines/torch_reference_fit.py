@@ -174,15 +174,24 @@ def fit_one_image(grid: torch.Tensor, unaries: torch.Tensor, steps: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=64, help="grid side (bench: 64)")
+    ap.add_argument("--height", type=int, default=0,
+                    help="grid height (overrides --size; pair with --width)")
+    ap.add_argument("--width", type=int, default=0,
+                    help="grid width (overrides --size)")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--images", type=int, default=2)
     ap.add_argument("--threads", type=int, default=0,
                     help="0 = torch default (all cores)")
+    ap.add_argument("--out", type=str, default="BASELINE_MEASURED.json",
+                    help="output JSON filename (relative to the repo root); "
+                         "use a different name for non-bench shapes so the "
+                         "64x64 bench baseline is not clobbered")
     args = ap.parse_args()
     if args.threads:
         torch.set_num_threads(args.threads)
 
-    h = w = args.size
+    h = args.height or args.size
+    w = args.width or args.size
     yy, xx = np.mgrid[0:h, 0:w]
     fg = (((yy - h / 2) ** 2 / (0.09 * h * h)
            + (xx - w / 2) ** 2 / (0.05 * w * w)) <= 1.0)
@@ -217,7 +226,7 @@ def main():
         "spec": "awesome/model/path_connected_net.py:923-962",
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "..", "BASELINE_MEASURED.json")
+                            "..", args.out)
     with open(os.path.abspath(out_path), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

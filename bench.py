@@ -64,6 +64,23 @@ def _measured_baseline():
         return None, None
 
 
+def _measured_baseline_fullres():
+    """Measured torch rate at the FULL-RES shape (480x640), if recorded.
+
+    Produced by ``baselines/torch_reference_fit.py --height 480 --width 640
+    --steps N --out BASELINE_MEASURED_FULLRES.json`` (N < 2000 is fine: the
+    recorded ``point_steps_per_sec`` rate is the honest scalar; the
+    2000-step wall-clock is extrapolated from it and labeled as such)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED_FULLRES.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return float(data["point_steps_per_sec"]), data
+    except (OSError, KeyError, ValueError):
+        return None, None
+
+
 def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
     """Retry backend init through transient tunnel outages.
 
@@ -262,6 +279,23 @@ def main():
     else:
         result["vs_baseline"] = result["vs_baseline_estimated_gpu"]
         result["baseline_source"] = "estimate (BASELINE_MEASURED.json absent)"
+    fr_measured, fr_data = _measured_baseline_fullres()
+    if fr_measured and fr_data.get("grid") == [fh, fw]:
+        # the torch loop's MEASURED rate at this exact shape (short run;
+        # rate extrapolated to the protocol's 2000 steps)
+        ref_fullres_s = steps * fpoints.shape[0] / fr_measured
+        result["per_image_fullres_seconds_reference_measured"] = round(
+            ref_fullres_s, 1
+        )
+        result["per_image_fullres_vs_reference_measured"] = round(
+            ref_fullres_s / frdt, 1
+        )
+        result["fullres_baseline_source"] = (
+            f"measured: torch loop at {fh}x{fw}, "
+            f"{fr_measured:.0f} point-steps/s over "
+            f"{fr_data.get('steps_per_image')} steps "
+            "(BASELINE_MEASURED_FULLRES.json)"
+        )
     print(json.dumps(result))
 
 

@@ -46,6 +46,30 @@ def get_config():
     return cfg
 
 
+def _resolve_resume_folder(cfg) -> None:
+    """--resume true without an explicit --output-folder: continue the
+    NEWEST run of the same experiment (run folders are timestamped, so a
+    preempted job restarted with the identical command + --resume picks
+    up exactly where it left off; `AwesomeRunner._try_resume` restores
+    the full train state bit-identically)."""
+    import glob
+
+    if not getattr(cfg, "resume", False) or cfg.output_folder:
+        return
+    suffix = f"_{cfg.name_experiment or 'run'}"
+    cands = sorted(
+        d
+        for d in glob.glob(os.path.join(cfg.runs_path, "*" + suffix))
+        if os.path.isdir(os.path.join(d, "checkpoints"))
+    )
+    if cands:
+        cfg.output_folder = cands[-1]
+        logging.info("resume: picked up run folder %s", cands[-1])
+    else:
+        logging.info("resume: no prior run folder for %r — starting fresh",
+                     suffix)
+
+
 def _is_fbms(cfg) -> bool:
     """FBMS configs = the dataset TYPE (outer, or the nested wrapped
     dataset's class tag) is an FBMS sequence dataset — never a substring
@@ -92,6 +116,7 @@ def main(cfg) -> None:
     from awesome_tpu.runner.runner import AwesomeRunner
     from awesome_tpu.utils.tensorboard import Tensorboard
 
+    _resolve_resume_folder(cfg)
     if _is_fbms(cfg):
         main_fbms(cfg)
         return

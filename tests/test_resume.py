@@ -1,0 +1,162 @@
+"""Auto-resume: a preempted run restarted with ``AwesomeConfig.resume``
+continues from the newest full train-state checkpoint and is BIT-IDENTICAL
+to an uninterrupted run.
+
+The reference can only reload checkpoints post-hoc for analytics
+(`awesome/agent/torch_agent.py:1090-1136` from_acc/load_acc) — mid-run
+resume is a production capability the TPU rebuild adds (preemptible
+slices). The full NamedTuple train state (params, optimizer moments,
+plateau schedule, absolute epoch counters) rides the AgentCheckpoint;
+the tracker (including its best-model gate) restores from the metadata.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from awesome_tpu.runner.config import AwesomeConfig
+from awesome_tpu.runner.runner import AwesomeRunner
+
+
+def _config(tmp_path, folder, **kw):
+    base = dict(
+        name_experiment="resume",
+        dataset_args={"n": 3, "h": 24, "w": 24},
+        segmentation_model_args={"n_hidden": 16},
+        prior_model_args={"n_hidden": 12, "n_hidden_layers": 1},
+        optimizer_type="adam",
+        optimizer_args={"lr": 0.02},
+        num_epochs=40,
+        compute_metrics_during_training_nth_epoch=20,
+        # cross a phase boundary AFTER the resume point so the absolute
+        # epoch counters in the restored state are load-bearing
+        use_extra_penalty_hook=True,
+        extra_penalty_after_n_epochs=20,
+        use_lr_on_plateau_scheduler=True,
+        runs_path=str(tmp_path),
+        output_folder=str(tmp_path / folder),
+        seed=5,
+    )
+    base.update(kw)
+    return AwesomeConfig(**base)
+
+
+def _leaves(tree):
+    import jax
+
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+
+@pytest.mark.parametrize("mode", ["single", "multi"])
+def test_resume_bit_identical(tmp_path, mode):
+    kw = {}
+    if mode == "multi":
+        kw["segmentation_training_mode"] = "multi"
+
+    # uninterrupted 40-epoch run
+    full = AwesomeRunner(_config(tmp_path, "full", **kw))
+    full.build()
+    res_full = full.train()
+
+    # preempted at epoch 20 (the nth-epoch 'latest'/'end' saves carry the
+    # full train state), then restarted with resume=True
+    part = AwesomeRunner(_config(tmp_path, "part", num_epochs=20, **kw))
+    part.build()
+    part.train()
+    ck = os.path.join(part.output_folder, "checkpoints")
+    assert os.path.isdir(os.path.join(ck, "end"))
+
+    resumed = AwesomeRunner(
+        _config(tmp_path, "part", resume=True, **kw)
+    )
+    resumed.build()
+    res_resumed = resumed.train()
+
+    # params after 40 epochs: bitwise equal to the uninterrupted run
+    for a, b in zip(
+        _leaves(full.stacked_params), _leaves(resumed.stacked_params)
+    ):
+        np.testing.assert_array_equal(a, b)
+    # the post-resume loss trajectory equals the uninterrupted second half
+    lf = res_full["loss_hist"]
+    lr_ = res_resumed["loss_hist"]
+    np.testing.assert_array_equal(lf[:, -lr_.shape[1]:], lr_)
+    # tracker continued, not restarted: epochs accumulated to 40
+    assert resumed.tracker.epoch == full.tracker.epoch == 40
+
+
+def test_resume_restores_best_gate(tmp_path):
+    part = AwesomeRunner(_config(tmp_path, "gate", num_epochs=20))
+    part.build()
+    part.train()
+    best_before = part.tracker._best_primary
+    assert best_before is not None
+
+    resumed = AwesomeRunner(_config(tmp_path, "gate", resume=True))
+    resumed.build()
+    resumed.train()
+    # the restored gate kept the pre-preemption best (it can only improve)
+    if resumed.tracker.maximize_primary:
+        assert resumed.tracker._best_primary >= best_before
+    else:
+        assert resumed.tracker._best_primary <= best_before
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path):
+    runner = AwesomeRunner(
+        _config(tmp_path, "fresh", resume=True, num_epochs=20)
+    )
+    runner.build()
+    res = runner.train()
+    assert np.isfinite(res["loss_hist"]).all()
+    assert res["loss_hist"].shape[1] == 20
+
+
+def test_resume_rejects_misaligned_cadence(tmp_path):
+    # 'latest' saves only happen at multiples of CHECKPOINT_NTH_EPOCH=20 and
+    # any seg_len divides 20, so only an 'end' checkpoint (written at
+    # num_epochs, here 30 with seg_len=5) can land off the new grid
+    part = AwesomeRunner(
+        _config(
+            tmp_path, "mis", num_epochs=30,
+            compute_metrics_during_training_nth_epoch=15,
+        )
+    )
+    part.build()
+    part.train()
+    # the resumed config's seg_len is gcd(40, 20) = 20, which does not
+    # divide the end-checkpoint epoch 30
+    bad = AwesomeRunner(_config(tmp_path, "mis", resume=True, num_epochs=40))
+    bad.build()
+    with pytest.raises(ValueError, match="not aligned"):
+        bad.train()
+
+
+def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_script",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "run.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["run_script"] = spec.loader.exec_module(mod) or mod
+
+    # two timestamped run folders; only the newer has checkpoints
+    old = tmp_path / "2020-01-01_00-00-00_resume"
+    new = tmp_path / "2021-01-01_00-00-00_resume"
+    (old / "checkpoints").mkdir(parents=True)
+    (new / "checkpoints").mkdir(parents=True)
+    cfg = AwesomeConfig(
+        name_experiment="resume", runs_path=str(tmp_path), resume=True
+    )
+    mod._resolve_resume_folder(cfg)
+    assert cfg.output_folder == str(new)
+
+    # no matching folder: stays fresh (None)
+    cfg2 = AwesomeConfig(
+        name_experiment="other", runs_path=str(tmp_path), resume=True
+    )
+    mod._resolve_resume_folder(cfg2)
+    assert cfg2.output_folder is None
