@@ -85,6 +85,15 @@ class _EpochLrSchedule:
                     self._wait = 0
         return self.scale
 
+    def state_dict(self) -> Dict:
+        return {"scale": self.scale, "best": self._best,
+                "wait": self._wait}
+
+    def load_state_dict(self, d: Dict) -> None:
+        self.scale = float(d.get("scale", 1.0))
+        self._best = float(d.get("best", float("inf")))
+        self._wait = int(d.get("wait", 0))
+
 
 class FBMSRunner:
     def __init__(self, config: FBMSExperimentConfig, dataset=None):
@@ -204,9 +213,16 @@ class FBMSRunner:
                 eval_nth_epoch=cfg.compute_metrics_during_training_nth_epoch,
                 eval_epoch0=eval_epoch0,
             )
+        out_dir = cfg.output_folder or os.path.join(
+            cfg.runs_path, cfg.run_name
+        )
         return self.train_joint(
             eval_epoch0=eval_epoch0,
             eval_crf=bool(cfg.compute_crf_with_metrics),
+            # nth-epoch 'latest' saves make every CLI joint run resumable
+            # (AwesomeConfig.resume; scripts/run.py --resume true)
+            checkpoint_dir=os.path.join(out_dir, "checkpoints"),
+            resume=bool(getattr(cfg, "resume", False)),
             num_epochs=num_epochs or cfg.num_epochs,
             lr=float(cfg.optimizer_args.get("lr", 1e-4)),
             prior_lr=float(cfg.optimizer_args.get("lr", 1e-4)),
@@ -1151,6 +1167,8 @@ class FBMSRunner:
         plot_dir: Optional[str] = None,
         eval_epoch0: bool = False,  # record the pre-training baseline eval
         eval_crf: bool = False,  # CRF-refined metrics at each eval tick
+        resume: bool = False,  # continue from checkpoint_dir's newest state
+        checkpoint_nth_epoch: int = 1,  # 'latest' full-state save cadence
     ) -> Dict:
         """The run_fbms_unet_joint experiment: shared UNet segmenting each
         frame (image + edge features), per-frame priors aligned via the
@@ -1217,6 +1235,31 @@ class FBMSRunner:
             wrapper, jax.random.PRNGKey(seed), t, cfg,
             prior_init=getattr(self, "joint_prior_init", None),
         )
+        from awesome_tpu.fit.tracker import Tracker
+
+        tracker = Tracker(
+            primary_metric="MeanForegroundBinaryMIOU"
+            if eval_nth_epoch else "Loss",
+            primary_mode="eval" if eval_nth_epoch else "train",
+            maximize_primary=bool(eval_nth_epoch),
+        )
+        self.joint_tracker = tracker
+        self.best_joint_state = None
+        # epoch-level LR scheduling on the host (the reference steps its
+        # schedulers via epoch events, `awesome_runner.py:465-475`); the
+        # scale reaches the compiled step as a traced scalar — no retrace
+        sched = _EpochLrSchedule(scheduler)
+        # auto-resume BEFORE mesh placement: the freshly-built state is
+        # the restore template; the resumed host arrays then shard
+        # exactly like a cold start would
+        start_epoch = 0
+        if resume and checkpoint_dir:
+            resumed = self._try_resume_joint(
+                checkpoint_dir, state, sched, num_epochs
+            )
+            if resumed is not None:
+                state, start_epoch = resumed
+                tracker = self.joint_tracker
         epoch_fn = jax.jit(make_joint_epoch_fn(wrapper, cfg))
 
         data = {
@@ -1248,24 +1291,15 @@ class FBMSRunner:
 
             batch_size = BatchSettings.of(self.dataset).training_batch_size
         bs = min(batch_size, t)
-        from awesome_tpu.fit.tracker import Tracker
-
-        tracker = Tracker(
-            primary_metric="MeanForegroundBinaryMIOU"
-            if eval_nth_epoch else "Loss",
-            primary_mode="eval" if eval_nth_epoch else "train",
-            maximize_primary=bool(eval_nth_epoch),
-        )
-        self.joint_tracker = tracker
-        self.best_joint_state = None
-        # epoch-level LR scheduling on the host (the reference steps its
-        # schedulers via epoch events, `awesome_runner.py:465-475`); the
-        # scale reaches the compiled step as a traced scalar — no retrace
-        sched = _EpochLrSchedule(scheduler)
-        lr_scale = 1.0
+        # fast-forward the batch-plan stream past the already-trained
+        # epochs so the resumed trajectory consumes the SAME permutations
+        # an uninterrupted run would (bit-identity, tests/test_resume.py)
+        for _ in range(start_epoch):
+            epoch_batches(t, bs, rng)
+        lr_scale = sched.scale
         stopped_early = False
         epoch_metrics = []
-        if eval_epoch0:
+        if eval_epoch0 and start_epoch == 0:
             # epoch-0 "Baseline" row of the paper's Sequential-vs-Joint
             # table: the pretrained priors + untrained UNet, evaluated
             # BEFORE any joint update (`notebooks/fbms_eval_icml.ipynb`
@@ -1283,8 +1317,9 @@ class FBMSRunner:
                 self.best_joint_state = state
                 if checkpoint_dir:
                     self._save_joint_checkpoint(state, checkpoint_dir,
-                                                "best")
-        for e in range(num_epochs):
+                                                "best", epoch=0,
+                                                sched=sched)
+        for e in range(start_epoch, num_epochs):
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
                 state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat),
@@ -1322,7 +1357,8 @@ class FBMSRunner:
                     self.best_joint_state = state
                     if checkpoint_dir:
                         self._save_joint_checkpoint(
-                            state, checkpoint_dir, "best"
+                            state, checkpoint_dir, "best",
+                            epoch=e + 1, sched=sched,
                         )
             if plot_indices and plot_dir and (
                 (e + 1) % plot_nth_epoch == 0 or e + 1 == num_epochs
@@ -1332,6 +1368,16 @@ class FBMSRunner:
                 self.joint_state = jax.block_until_ready(state)
                 self.joint_wrapper = wrapper
                 self._dump_joint_frames(plot_indices, plot_dir, e + 1)
+            if checkpoint_dir and checkpoint_nth_epoch and (
+                (e + 1) % checkpoint_nth_epoch == 0
+            ):
+                # resumable preemption point: full state + tracker +
+                # schedule; the SAVE happens after the epoch's sched
+                # update so sched.scale restores as the next epoch's scale
+                self._save_joint_checkpoint(
+                    state, checkpoint_dir, "latest", epoch=e + 1,
+                    sched=sched,
+                )
             if watchdog_fired:
                 # LearningRateStopTrainingWatchdog: StopTraining once the
                 # LR has decayed to the floor — AFTER the stopping epoch
@@ -1345,7 +1391,11 @@ class FBMSRunner:
         if self.best_joint_state is None:
             self.best_joint_state = self.joint_state
         if checkpoint_dir:
-            self._save_joint_checkpoint(state, checkpoint_dir, "end")
+            self._save_joint_checkpoint(
+                state, checkpoint_dir, "end",
+                epoch=(e + 1 if num_epochs > start_epoch else start_epoch),
+                sched=sched,
+            )
         # single host transfer for the whole history
         losses = [
             float(v)
@@ -1395,13 +1445,27 @@ class FBMSRunner:
                 else None,
             )
 
-    def _save_joint_checkpoint(self, state, directory: str, tag: str):
+    def _save_joint_checkpoint(self, state, directory: str, tag: str,
+                               epoch: Optional[int] = None,
+                               sched: Optional[_EpochLrSchedule] = None):
         """Agent-checkpoint save of the joint state (params + tracker).
-        Spec: `awesome/run/handles.py:195-232` save handles."""
+        Spec: `awesome/run/handles.py:195-232` save handles.
+
+        When ``epoch`` is given, the FULL JointTrainState (seg/prior
+        params, both optimizers' moments, seg batch-norm state) and the
+        host schedule state ride along, making the checkpoint RESUMABLE
+        (``train_joint(resume=True)``) — the reference only reloads
+        params post-hoc (`awesome/agent/torch_agent.py:1090-1136`)."""
         import os
 
-        from awesome_tpu.fit.checkpoint import AgentCheckpoint
+        from awesome_tpu.fit.checkpoint import AgentCheckpoint, save_pytree
 
+        extra = {}
+        if epoch is not None:
+            extra["epoch"] = int(epoch)
+            if sched is not None:
+                extra["sched"] = sched.state_dict()
+        d = os.path.join(directory, tag)
         AgentCheckpoint(
             name=f"fbms_joint_{tag}",
             params={
@@ -1411,7 +1475,63 @@ class FBMSRunner:
             tracker=self.joint_tracker.to_dict()
             if getattr(self, "joint_tracker", None) else {},
             config={},
-        ).save(os.path.join(directory, tag))
+            extra=extra,
+        ).save(d)
+        if epoch is not None:
+            # plain tuple: robust through Orbax's dict round trip
+            save_pytree(tuple(state), os.path.join(d, "train_state"))
+
+    def _try_resume_joint(self, checkpoint_dir: str, template_state,
+                          sched: _EpochLrSchedule, num_epochs: int):
+        """Restore the newest resumable joint checkpoint (latest/end).
+        Returns ``(state, start_epoch)`` or ``None``. Mirrors
+        ``AwesomeRunner._try_resume``: full-state restore + tracker with
+        its best-model gate + host LR-schedule state; the resumed run is
+        bit-identical to an uninterrupted one (tests/test_resume.py)."""
+        import json as _json
+        import os
+
+        from awesome_tpu.fit.checkpoint import load_pytree, pytree_exists
+        from awesome_tpu.fit.tracker import Tracker
+
+        best = None
+        for tag in ("latest", "end"):
+            d = os.path.join(checkpoint_dir, tag)
+            mp = os.path.join(d, "meta.json")
+            if not (os.path.exists(mp)
+                    and pytree_exists(os.path.join(d, "train_state"))):
+                continue
+            with open(mp) as f:
+                meta = _json.load(f)
+            ep = int((meta.get("extra") or {}).get("epoch", -1))
+            if ep <= 0:
+                continue
+            if best is None or ep > best[0]:
+                best = (ep, d, meta)
+        if best is None:
+            logger.info("joint resume requested but nothing resumable "
+                        "under %s — starting fresh", checkpoint_dir)
+            return None
+        ep, d, meta = best
+        ep = min(ep, num_epochs)
+        restored = load_pytree(os.path.join(d, "train_state"),
+                               template=tuple(template_state))
+        state = type(template_state)(*restored)
+        if meta.get("tracker"):
+            self.joint_tracker = Tracker.from_dict(meta["tracker"])
+        sched.load_state_dict((meta.get("extra") or {}).get("sched") or {})
+        bdir = os.path.join(checkpoint_dir, "best")
+        if pytree_exists(os.path.join(bdir, "train_state")):
+            try:
+                self.best_joint_state = type(template_state)(*load_pytree(
+                    os.path.join(bdir, "train_state"),
+                    template=tuple(template_state),
+                ))
+            except Exception:
+                logger.warning("best joint checkpoint unreadable; "
+                               "best-model restarts")
+        logger.info("Resuming joint training from %s at epoch %d", d, ep)
+        return state, ep
 
     def export_tensorboard(self, log_dir: str) -> str:
         """Write the joint tracker's curves as TensorBoard events (real

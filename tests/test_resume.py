@@ -132,6 +132,55 @@ def test_resume_rejects_misaligned_cadence(tmp_path):
         bad.train()
 
 
+def test_fbms_joint_resume_bit_identical(tmp_path):
+    """The FBMS joint loop resumes from its nth-epoch 'latest' full-state
+    saves (params + both optimizers' moments + seg batch-norm state +
+    host LR-schedule state + batch-plan stream position) bit-identically."""
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+
+    def make_runner():
+        cfg = FBMSExperimentConfig(
+            dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+            convex_hidden_units=12, convex_hidden_layers=1,
+        )
+        r = FBMSRunner(cfg)
+        r.build()
+        return r
+
+    # a stepping scheduler makes the restored sched state load-bearing
+    sched = {"type": "step", "gamma": 0.5, "step_size": 2}
+    full = make_runner()
+    full.train_joint(num_epochs=6, batch_size=2, lr=1e-3, prior_lr=1e-3,
+                     scheduler=dict(sched), eval_nth_epoch=3)
+
+    ck = str(tmp_path / "joint_ck")
+    part = make_runner()
+    part.train_joint(num_epochs=3, batch_size=2, lr=1e-3, prior_lr=1e-3,
+                     scheduler=dict(sched), eval_nth_epoch=3,
+                     checkpoint_dir=ck)
+    resumed = make_runner()
+    res = resumed.train_joint(num_epochs=6, batch_size=2, lr=1e-3,
+                              prior_lr=1e-3, scheduler=dict(sched),
+                              eval_nth_epoch=3, checkpoint_dir=ck,
+                              resume=True)
+    # only the post-resume epochs ran
+    assert len(res["loss"]) == 3 * 3  # 3 epochs x 3 batches of 2
+    for a, b in zip(_leaves(tuple(full.joint_state)),
+                    _leaves(tuple(resumed.joint_state))):
+        np.testing.assert_array_equal(a, b)
+    assert res["final_lr_scale"] == 0.5 ** 3  # sched state carried over
+    # tracker continued: eval ticks at epochs 3 (restored) and 6 (new)
+    s = resumed.joint_tracker.series[
+        ("MeanForegroundBinaryMIOU", "epoch", "eval")]
+    assert s.steps == [3, 6], s.steps
+
+
 def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
     import importlib.util
     import sys
