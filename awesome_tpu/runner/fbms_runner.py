@@ -185,6 +185,9 @@ class FBMSRunner:
         label_mode = ds.get("label_mode")
         if isinstance(label_mode, dict):
             label_mode = label_mode.get("value")
+        out_dir = cfg.output_folder or os.path.join(
+            cfg.runs_path, cfg.run_name
+        )
         if label_mode == "multiple_objects":
             # multi-object label mode (`awesome/dataset/label_mode.py`):
             # shared multi-channel UNet + per-frame child priors
@@ -212,10 +215,9 @@ class FBMSRunner:
                 watchdog_lr=self._watchdog_lr_from_config(cfg),
                 eval_nth_epoch=cfg.compute_metrics_during_training_nth_epoch,
                 eval_epoch0=eval_epoch0,
+                checkpoint_dir=os.path.join(out_dir, "checkpoints"),
+                resume=bool(getattr(cfg, "resume", False)),
             )
-        out_dir = cfg.output_folder or os.path.join(
-            cfg.runs_path, cfg.run_name
-        )
         return self.train_joint(
             eval_epoch0=eval_epoch0,
             eval_crf=bool(cfg.compute_crf_with_metrics),
@@ -858,6 +860,9 @@ class FBMSRunner:
         watchdog_lr: Optional[float] = None,
         eval_nth_epoch: Optional[int] = None,
         eval_epoch0: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        resume: bool = False,  # continue from checkpoint_dir's newest state
+        checkpoint_nth_epoch: int = 1,  # 'latest' full-state save cadence
     ) -> Dict:
         """Multi-object joint training: a shared UNet with one output
         channel per object slot + per-frame child priors
@@ -962,9 +967,6 @@ class FBMSRunner:
                 prior_params=dict(state.prior_params, children=fitted)
             )
 
-        if pretrain_steps:
-            state = fit_children(state, pretrain_steps, state.active)
-        epoch_fn = jax.jit(make_multi_object_epoch_fn(wrapper, cfg))
         from awesome_tpu.fit.tracker import Tracker
 
         tracker = Tracker(
@@ -978,6 +980,23 @@ class FBMSRunner:
         self.joint_tracker = tracker
         self.joint_wrapper = wrapper
         self.best_multi_state = None
+        sched = _EpochLrSchedule(scheduler)
+        # resume BEFORE the child pretrain: a restored state already holds
+        # the post-pretrain children, moments, and the traced active mask
+        # (max_priors keeps the PyTree shape static through growth, so the
+        # freshly-built state is a valid restore template at ANY epoch)
+        start_epoch = 0
+        if resume and checkpoint_dir:
+            resumed = self._try_resume_joint(
+                checkpoint_dir, state, sched, num_epochs,
+                kind="multi", best_attr="best_multi_state",
+            )
+            if resumed is not None:
+                state, start_epoch = resumed
+                tracker = self.joint_tracker
+        if pretrain_steps and start_epoch == 0:
+            state = fit_children(state, pretrain_steps, state.active)
+        epoch_fn = jax.jit(make_multi_object_epoch_fn(wrapper, cfg))
 
         def record_eval(epoch: int, st) -> None:
             """Per-object eval flattened into tracker series (series
@@ -1003,8 +1022,13 @@ class FBMSRunner:
                 tracker.epoch_metric(f"SegIoU/obj{oid}", v, "eval")
             if tracker.is_current_state_best_model():
                 self.best_multi_state = st
+                if checkpoint_dir:
+                    self._save_joint_checkpoint(
+                        st, checkpoint_dir, "best", epoch=epoch,
+                        sched=sched, kind="multi",
+                    )
 
-        if eval_epoch0:
+        if eval_epoch0 and start_epoch == 0:
             record_eval(0, state)
         data = {
             "image": jnp.asarray(images),
@@ -1015,12 +1039,16 @@ class FBMSRunner:
         }
         rng = np.random.default_rng(seed)
         bs = min(batch_size or 1, t)
-        sched = _EpochLrSchedule(scheduler)
-        lr_scale = 1.0
+        # fast-forward the batch-plan stream past the already-trained
+        # epochs so the resumed trajectory consumes the SAME permutations
+        # an uninterrupted run would (bit-identity, tests/test_resume.py)
+        for _ in range(start_epoch):
+            epoch_batches(t, bs, rng)
+        lr_scale = sched.scale
         stopped_early = False
         losses = []
         growth_events = []
-        for e in range(num_epochs):
+        for e in range(start_epoch, num_epochs):
             if grow_at_epoch and e in grow_at_epoch:
                 new_count = int(grow_at_epoch[e])
                 prev_active = state.active
@@ -1059,6 +1087,15 @@ class FBMSRunner:
                     "train",
                 )
                 record_eval(e + 1, state)
+            if checkpoint_dir and checkpoint_nth_epoch and (
+                (e + 1) % checkpoint_nth_epoch == 0
+            ):
+                # resumable preemption point (post-sched-update, like the
+                # single-object path; growth replays only at e >= resume)
+                self._save_joint_checkpoint(
+                    state, checkpoint_dir, "latest", epoch=e + 1,
+                    sched=sched, kind="multi",
+                )
             if watchdog_fired:
                 logger.info("LR watchdog stop at epoch %d", e + 1)
                 stopped_early = True
@@ -1068,6 +1105,12 @@ class FBMSRunner:
         self.joint_state = self.multi_state
         if self.best_multi_state is None:
             self.best_multi_state = self.multi_state
+        if checkpoint_dir:
+            self._save_joint_checkpoint(
+                state, checkpoint_dir, "end",
+                epoch=(e + 1 if num_epochs > start_epoch else start_epoch),
+                sched=sched, kind="multi",
+            )
         return {
             "loss": [float(v) for m in losses for v in np.asarray(m).ravel()],
             "growth_events": growth_events,
@@ -1447,7 +1490,8 @@ class FBMSRunner:
 
     def _save_joint_checkpoint(self, state, directory: str, tag: str,
                                epoch: Optional[int] = None,
-                               sched: Optional[_EpochLrSchedule] = None):
+                               sched: Optional[_EpochLrSchedule] = None,
+                               kind: str = "joint"):
         """Agent-checkpoint save of the joint state (params + tracker).
         Spec: `awesome/run/handles.py:195-232` save handles.
 
@@ -1463,6 +1507,7 @@ class FBMSRunner:
         extra = {}
         if epoch is not None:
             extra["epoch"] = int(epoch)
+            extra["state_kind"] = kind
             if sched is not None:
                 extra["sched"] = sched.state_dict()
         d = os.path.join(directory, tag)
@@ -1482,7 +1527,9 @@ class FBMSRunner:
             save_pytree(tuple(state), os.path.join(d, "train_state"))
 
     def _try_resume_joint(self, checkpoint_dir: str, template_state,
-                          sched: _EpochLrSchedule, num_epochs: int):
+                          sched: _EpochLrSchedule, num_epochs: int,
+                          kind: str = "joint",
+                          best_attr: str = "best_joint_state"):
         """Restore the newest resumable joint checkpoint (latest/end).
         Returns ``(state, start_epoch)`` or ``None``. Mirrors
         ``AwesomeRunner._try_resume``: full-state restore + tracker with
@@ -1503,8 +1550,9 @@ class FBMSRunner:
                 continue
             with open(mp) as f:
                 meta = _json.load(f)
-            ep = int((meta.get("extra") or {}).get("epoch", -1))
-            if ep <= 0:
+            ex = meta.get("extra") or {}
+            ep = int(ex.get("epoch", -1))
+            if ep <= 0 or ex.get("state_kind", "joint") != kind:
                 continue
             if best is None or ep > best[0]:
                 best = (ep, d, meta)
@@ -1523,10 +1571,10 @@ class FBMSRunner:
         bdir = os.path.join(checkpoint_dir, "best")
         if pytree_exists(os.path.join(bdir, "train_state")):
             try:
-                self.best_joint_state = type(template_state)(*load_pytree(
+                setattr(self, best_attr, type(template_state)(*load_pytree(
                     os.path.join(bdir, "train_state"),
                     template=tuple(template_state),
-                ))
+                )))
             except Exception:
                 logger.warning("best joint checkpoint unreadable; "
                                "best-model restarts")

@@ -181,6 +181,64 @@ def test_fbms_joint_resume_bit_identical(tmp_path):
     assert s.steps == [3, 6], s.steps
 
 
+def test_fbms_multi_object_resume_bit_identical(tmp_path):
+    """The MULTI-object joint loop resumes bit-identically too — including
+    across a growth event that happened BEFORE the preemption point: the
+    restored state carries the grown active mask + refitted children, and
+    grow_at_epoch entries below start_epoch are not replayed (state_kind
+    'multi' checkpoints are invisible to single-object resume and vice
+    versa)."""
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_multi_object_joint import _write_two_object_sequence
+
+    seq = _write_two_object_sequence(tmp_path)
+
+    def make_runner():
+        cfg = FBMSExperimentConfig(
+            dataset_path=seq, prior_hidden_units=8, prior_flows=2,
+            convex_hidden_units=12, convex_hidden_layers=1,
+        )
+        r = FBMSRunner(cfg)
+        r.build()
+        return r
+
+    kw = dict(
+        max_objects=2, initial_count=1, grow_at_epoch={1: 2},
+        batch_size=2, lr=1e-3, prior_lr=1e-3, pretrain_steps=30,
+        scheduler={"type": "step", "gamma": 0.5, "step_size": 2},
+        eval_nth_epoch=2,
+    )
+    full = make_runner()
+    full.train_joint_multi_object(num_epochs=4, **kw)
+
+    ck = str(tmp_path / "multi_ck")
+    part = make_runner()
+    part.train_joint_multi_object(num_epochs=2, checkpoint_dir=ck, **kw)
+    resumed = make_runner()
+    res = resumed.train_joint_multi_object(
+        num_epochs=4, checkpoint_dir=ck, resume=True, **kw
+    )
+    # only the post-resume epochs ran (2 epochs x 2 batches of 2)
+    assert len(res["loss"]) == 2 * 2
+    # the growth event predates the resume point: not replayed
+    assert res["growth_events"] == []
+    for a, b in zip(_leaves(tuple(full.multi_state)),
+                    _leaves(tuple(resumed.multi_state))):
+        np.testing.assert_array_equal(a, b)
+    # tracker continued: eval ticks at epochs 2 (restored) and 4 (new)
+    s = resumed.joint_tracker.series[
+        ("MeanForegroundBinaryMIOU", "epoch", "eval")]
+    assert s.steps == [2, 4], s.steps
+    # a single-object resume attempt must NOT pick up 'multi' checkpoints
+    other = make_runner()
+    out = other.train_joint(num_epochs=1, batch_size=2, lr=1e-3,
+                            prior_lr=1e-3, checkpoint_dir=ck, resume=True)
+    assert len(out["loss"]) == 2  # started fresh at epoch 0
+
+
 def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
     import importlib.util
     import sys
