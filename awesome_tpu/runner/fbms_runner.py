@@ -185,6 +185,8 @@ class FBMSRunner:
         label_mode = ds.get("label_mode")
         if isinstance(label_mode, dict):
             label_mode = label_mode.get("value")
+        if cfg.timestamp is None:  # run_name is always truthy — key on
+            cfg.prepare()          # the timestamp that makes it unique
         out_dir = cfg.output_folder or os.path.join(
             cfg.runs_path, cfg.run_name
         )

@@ -243,7 +243,7 @@ def test_two_object_joint_training_with_growth(seq_path):
     assert per_obj[2] > 0.3, m
 
 
-def test_label_mode_multiple_objects_config_dispatch(seq_path):
+def test_label_mode_multiple_objects_config_dispatch(seq_path, tmp_path):
     """A reference-style config with label_mode multiple_objects routes
     train_joint_from_config to the multi-object engine
     (`awesome/dataset/label_mode.py` MULTIPLE_OBJECTS)."""
@@ -251,6 +251,7 @@ def test_label_mode_multiple_objects_config_dispatch(seq_path):
     from awesome_tpu.runner.fbms_runner import FBMSRunner
 
     cfg = AwesomeConfig(
+        output_folder=str(tmp_path / "out"),
         name_experiment="mo_dispatch",
         num_epochs=1,
         dataset_args={"dataset": {

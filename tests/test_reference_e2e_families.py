@@ -90,6 +90,7 @@ def test_refit_unet_family_yaml_end_to_end(tmp_path):
     assert cfg.num_epochs == 15
 
     seq = _write_sequence(tmp_path)
+    cfg.output_folder = str(tmp_path / "out")
     runner = FBMSRunner.from_awesome_config(cfg, dataset_path=seq)
     runner.build()
     import jax
