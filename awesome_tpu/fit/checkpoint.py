@@ -15,12 +15,17 @@ with a plain .npz fallback so checkpoints never block on optional deps.
 """
 from __future__ import annotations
 
+import contextlib
 import json
+import logging
 import os
 import pickle
+import shutil
 from typing import Any, Dict, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def _try_orbax():
@@ -174,6 +179,77 @@ class AgentCheckpoint:
             config=meta.get("config"),
             extra=meta.get("extra", {}),
         )
+
+
+@contextlib.contextmanager
+def atomic_dir(directory: str):
+    """Write a checkpoint tag directory ATOMICALLY.
+
+    Yields a scratch path; on clean exit the scratch dir replaces
+    ``directory`` via two renames (old -> ``<dir>.old``, tmp -> dir).
+    A preemption mid-save can therefore never tear a checkpoint: either
+    the previous complete save survives (at the tag or its ``.old``
+    twin — ``find_resumable`` scans both) or the new complete save
+    lands. The reference has no resumable checkpoints at all
+    (`awesome/agent/torch_agent.py:1090-1136` only reloads params
+    post-hoc), so this preemption window is a TPU-rebuild concern."""
+    tmp = directory + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    parent = os.path.dirname(directory) or "."
+    os.makedirs(parent, exist_ok=True)
+    yield tmp
+    old = directory + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(directory):
+        os.rename(directory, old)
+    os.rename(tmp, directory)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def find_resumable(base: str, kind: str,
+                   tags=("latest", "end")) -> Optional[tuple]:
+    """Locate the newest RESUMABLE checkpoint under ``base``.
+
+    Scans each tag directory and its ``.old`` crash-window twin (see
+    ``atomic_dir``), requiring a readable meta.json whose
+    ``extra.state_kind`` matches ``kind`` exactly plus a persisted full
+    ``train_state``. Torn/unreadable metadata is skipped with a warning,
+    never fatal — a preempted save must not brick the restart it exists
+    to serve. Returns ``(epoch, directory, meta)`` or ``None``."""
+    best = None
+    for tag in tags:
+        d0 = os.path.join(base, tag)
+        for d in (d0, d0 + ".old"):
+            mp = os.path.join(d, "meta.json")
+            if not (os.path.exists(mp)
+                    and pytree_exists(os.path.join(d, "train_state"))):
+                continue
+            try:
+                with open(mp) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError) as e:
+                logger.warning("skipping unreadable checkpoint meta %s: %s",
+                               mp, e)
+                continue
+            ex = meta.get("extra") or {}
+            try:
+                ep = int(ex.get("epoch", -1))
+            except (TypeError, ValueError):
+                continue
+            if ep <= 0 or ex.get("state_kind") != kind:
+                continue
+            # equal-epoch tie: prefer the save that recorded the
+            # early-stop (a 'latest' written in the stopping epoch
+            # must not shadow the stopped 'end' and retrain)
+            key = (ep, 1 if ex.get("stopped_early") else 0)
+            if best is None or key > best[0]:
+                best = (key, d, meta)
+    if best is None:
+        return None
+    return best[0][0], best[1], best[2]
 
 
 def save_prior_cache(stacked_params: Any, path: str) -> None:

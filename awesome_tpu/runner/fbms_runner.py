@@ -988,14 +988,16 @@ class FBMSRunner:
         # (max_priors keeps the PyTree shape static through growth, so the
         # freshly-built state is a valid restore template at ANY epoch)
         start_epoch = 0
+        resumed_stopped = False
         if resume and checkpoint_dir:
             resumed = self._try_resume_joint(
                 checkpoint_dir, state, sched, num_epochs,
                 kind="multi", best_attr="best_multi_state",
             )
             if resumed is not None:
-                state, start_epoch = resumed
+                state, start_epoch, rex = resumed
                 tracker = self.joint_tracker
+                resumed_stopped = bool(rex.get("stopped_early"))
         if pretrain_steps and start_epoch == 0:
             state = fit_children(state, pretrain_steps, state.active)
         epoch_fn = jax.jit(make_multi_object_epoch_fn(wrapper, cfg))
@@ -1047,10 +1049,13 @@ class FBMSRunner:
         for _ in range(start_epoch):
             epoch_batches(t, bs, rng)
         lr_scale = sched.scale
-        stopped_early = False
+        stopped_early = resumed_stopped  # a stopped run never trains more
+        completed = start_epoch
         losses = []
         growth_events = []
         for e in range(start_epoch, num_epochs):
+            if stopped_early:
+                break
             if grow_at_epoch and e in grow_at_epoch:
                 new_count = int(grow_at_epoch[e])
                 prev_active = state.active
@@ -1072,6 +1077,7 @@ class FBMSRunner:
                 jnp.float32(lr_scale),
             )
             losses.append(metrics["loss"])
+            completed = e + 1
             lr_scale = sched.update(
                 e,
                 float(np.asarray(metrics["loss"]).mean())
@@ -1097,6 +1103,7 @@ class FBMSRunner:
                 self._save_joint_checkpoint(
                     state, checkpoint_dir, "latest", epoch=e + 1,
                     sched=sched, kind="multi",
+                    stopped_early=watchdog_fired,
                 )
             if watchdog_fired:
                 logger.info("LR watchdog stop at epoch %d", e + 1)
@@ -1109,9 +1116,8 @@ class FBMSRunner:
             self.best_multi_state = self.multi_state
         if checkpoint_dir:
             self._save_joint_checkpoint(
-                state, checkpoint_dir, "end",
-                epoch=(e + 1 if num_epochs > start_epoch else start_epoch),
-                sched=sched, kind="multi",
+                state, checkpoint_dir, "end", epoch=completed,
+                sched=sched, kind="multi", stopped_early=stopped_early,
             )
         return {
             "loss": [float(v) for m in losses for v in np.asarray(m).ravel()],
@@ -1298,13 +1304,15 @@ class FBMSRunner:
         # the restore template; the resumed host arrays then shard
         # exactly like a cold start would
         start_epoch = 0
+        resumed_stopped = False
         if resume and checkpoint_dir:
             resumed = self._try_resume_joint(
                 checkpoint_dir, state, sched, num_epochs
             )
             if resumed is not None:
-                state, start_epoch = resumed
+                state, start_epoch, rex = resumed
                 tracker = self.joint_tracker
+                resumed_stopped = bool(rex.get("stopped_early"))
         epoch_fn = jax.jit(make_joint_epoch_fn(wrapper, cfg))
 
         data = {
@@ -1342,7 +1350,8 @@ class FBMSRunner:
         for _ in range(start_epoch):
             epoch_batches(t, bs, rng)
         lr_scale = sched.scale
-        stopped_early = False
+        stopped_early = resumed_stopped  # a stopped run never trains more
+        completed = start_epoch
         epoch_metrics = []
         if eval_epoch0 and start_epoch == 0:
             # epoch-0 "Baseline" row of the paper's Sequential-vs-Joint
@@ -1365,12 +1374,15 @@ class FBMSRunner:
                                                 "best", epoch=0,
                                                 sched=sched)
         for e in range(start_epoch, num_epochs):
+            if stopped_early:
+                break
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
                 state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat),
                 jnp.float32(lr_scale),
             )
             epoch_metrics.append(metrics)  # device arrays; no sync here
+            completed = e + 1
             lr_scale = sched.update(
                 e,
                 float(np.asarray(metrics["loss"]).mean())
@@ -1421,7 +1433,7 @@ class FBMSRunner:
                 # update so sched.scale restores as the next epoch's scale
                 self._save_joint_checkpoint(
                     state, checkpoint_dir, "latest", epoch=e + 1,
-                    sched=sched,
+                    sched=sched, stopped_early=watchdog_fired,
                 )
             if watchdog_fired:
                 # LearningRateStopTrainingWatchdog: StopTraining once the
@@ -1437,9 +1449,8 @@ class FBMSRunner:
             self.best_joint_state = self.joint_state
         if checkpoint_dir:
             self._save_joint_checkpoint(
-                state, checkpoint_dir, "end",
-                epoch=(e + 1 if num_epochs > start_epoch else start_epoch),
-                sched=sched,
+                state, checkpoint_dir, "end", epoch=completed,
+                sched=sched, stopped_early=stopped_early,
             )
         # single host transfer for the whole history
         losses = [
@@ -1493,7 +1504,8 @@ class FBMSRunner:
     def _save_joint_checkpoint(self, state, directory: str, tag: str,
                                epoch: Optional[int] = None,
                                sched: Optional[_EpochLrSchedule] = None,
-                               kind: str = "joint"):
+                               kind: str = "joint",
+                               stopped_early: bool = False):
         """Agent-checkpoint save of the joint state (params + tracker).
         Spec: `awesome/run/handles.py:195-232` save handles.
 
@@ -1504,66 +1516,67 @@ class FBMSRunner:
         params post-hoc (`awesome/agent/torch_agent.py:1090-1136`)."""
         import os
 
-        from awesome_tpu.fit.checkpoint import AgentCheckpoint, save_pytree
+        from awesome_tpu.fit.checkpoint import (
+            AgentCheckpoint,
+            atomic_dir,
+            save_pytree,
+        )
 
         extra = {}
         if epoch is not None:
             extra["epoch"] = int(epoch)
             extra["state_kind"] = kind
+            extra["stopped_early"] = bool(stopped_early)
             if sched is not None:
                 extra["sched"] = sched.state_dict()
         d = os.path.join(directory, tag)
-        AgentCheckpoint(
-            name=f"fbms_joint_{tag}",
-            params={
-                "seg": state.seg_params,
-                "prior": state.prior_params,
-            },
-            tracker=self.joint_tracker.to_dict()
-            if getattr(self, "joint_tracker", None) else {},
-            config={},
-            extra=extra,
-        ).save(d)
-        if epoch is not None:
-            # plain tuple: robust through Orbax's dict round trip
-            save_pytree(tuple(state), os.path.join(d, "train_state"))
+        # atomic swap: preemption mid-save keeps the previous complete
+        # checkpoint (tag or .old twin) instead of tearing this one
+        with atomic_dir(d) as tmp:
+            AgentCheckpoint(
+                name=f"fbms_joint_{tag}",
+                params={
+                    "seg": state.seg_params,
+                    "prior": state.prior_params,
+                },
+                tracker=self.joint_tracker.to_dict()
+                if getattr(self, "joint_tracker", None) else {},
+                config={},
+                extra=extra,
+            ).save(tmp)
+            if epoch is not None:
+                # plain tuple: robust through Orbax's dict round trip
+                save_pytree(tuple(state), os.path.join(tmp, "train_state"))
 
     def _try_resume_joint(self, checkpoint_dir: str, template_state,
                           sched: _EpochLrSchedule, num_epochs: int,
                           kind: str = "joint",
                           best_attr: str = "best_joint_state"):
-        """Restore the newest resumable joint checkpoint (latest/end).
-        Returns ``(state, start_epoch)`` or ``None``. Mirrors
+        """Restore the newest resumable joint checkpoint (latest/end,
+        incl. their ``.old`` crash-window twins).
+        Returns ``(state, start_epoch, extra_meta)`` or ``None``. Mirrors
         ``AwesomeRunner._try_resume``: full-state restore + tracker with
         its best-model gate + host LR-schedule state; the resumed run is
         bit-identical to an uninterrupted one (tests/test_resume.py)."""
-        import json as _json
         import os
 
-        from awesome_tpu.fit.checkpoint import load_pytree, pytree_exists
+        from awesome_tpu.fit.checkpoint import (
+            find_resumable,
+            load_pytree,
+            pytree_exists,
+        )
         from awesome_tpu.fit.tracker import Tracker
 
-        best = None
-        for tag in ("latest", "end"):
-            d = os.path.join(checkpoint_dir, tag)
-            mp = os.path.join(d, "meta.json")
-            if not (os.path.exists(mp)
-                    and pytree_exists(os.path.join(d, "train_state"))):
-                continue
-            with open(mp) as f:
-                meta = _json.load(f)
-            ex = meta.get("extra") or {}
-            ep = int(ex.get("epoch", -1))
-            if ep <= 0 or ex.get("state_kind", "joint") != kind:
-                continue
-            if best is None or ep > best[0]:
-                best = (ep, d, meta)
+        best = find_resumable(checkpoint_dir, kind)
         if best is None:
             logger.info("joint resume requested but nothing resumable "
                         "under %s — starting fresh", checkpoint_dir)
             return None
         ep, d, meta = best
-        ep = min(ep, num_epochs)
+        if ep >= num_epochs:
+            # keep the TRUE epoch — the loop just has nothing left to run
+            logger.info("joint resume checkpoint epoch %d >= num_epochs "
+                        "%d — nothing left to train", ep, num_epochs)
         restored = load_pytree(os.path.join(d, "train_state"),
                                template=tuple(template_state))
         state = type(template_state)(*restored)
@@ -1581,7 +1594,7 @@ class FBMSRunner:
                 logger.warning("best joint checkpoint unreadable; "
                                "best-model restarts")
         logger.info("Resuming joint training from %s at epoch %d", d, ep)
-        return state, ep
+        return state, ep, (meta.get("extra") or {})
 
     def export_tensorboard(self, log_dir: str) -> str:
         """Write the joint tracker's curves as TensorBoard events (real

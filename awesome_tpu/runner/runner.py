@@ -961,12 +961,17 @@ class AwesomeRunner(Runner):
         # a cold start would
         kind = "shared" if shared_mode else "pixel"
         start_seg = 0
+        start_epoch = 0
+        resumed_stopped = False
         if cfg.resume:
             resumed = self._try_resume(state, kind, seg_len, num_epochs)
             if resumed is not None:
-                state, start_epoch = resumed
+                state, start_epoch, rex = resumed
                 self.stacked_params = state.params
                 start_seg = start_epoch // seg_len
+                # a watchdog-stopped run must not train extra epochs on
+                # every restart (that would break bit-identity)
+                resumed_stopped = bool(rex.get("stopped_early"))
         if mesh is not None:
             # per-image state (params / moments / schedules, stacked over
             # B) shards over 'data'; shared-seg leaves replicate
@@ -994,9 +999,11 @@ class AwesomeRunner(Runner):
             self._maybe_dump_images(epoch=0)
 
         loss_chunks = []
-        stopped_early = False
-        epoch = start_seg * seg_len
+        stopped_early = resumed_stopped
+        epoch = start_epoch if resumed_stopped else start_seg * seg_len
         for seg_i in range(start_seg, num_epochs // seg_len):
+            if stopped_early:
+                break
             state, aux = segment(state, px, gt, smask, rmask, trainable)
             self.stacked_params = state.params
             epoch = (seg_i + 1) * seg_len
@@ -1038,20 +1045,26 @@ class AwesomeRunner(Runner):
             ):
                 self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
             self._maybe_dump_images(epoch)
-            if epoch % self.CHECKPOINT_NTH_EPOCH == 0:
-                self.save_checkpoint("latest", state=state, epoch=epoch,
-                                     state_kind=kind)
-
             # LR watchdog early stop: every image's plateau scale under the
-            # threshold means every per-image fit is frozen
+            # threshold means every per-image fit is frozen (the condition
+            # is computed BEFORE the 'latest' save so a stop landing on a
+            # checkpoint epoch records stopped_early there too)
+            watchdog_fired = False
             if tcfg.use_plateau and tcfg.lr_stop_scale > 0.0:
                 scales = np.asarray(aux["lr_scale"]).reshape(-1)
-                if (scales <= tcfg.lr_stop_scale).all():
-                    logger.info(
-                        "LR watchdog: all fits frozen at epoch %d", epoch
-                    )
-                    stopped_early = True
-                    break
+                watchdog_fired = bool((scales <= tcfg.lr_stop_scale).all())
+
+            if epoch % self.CHECKPOINT_NTH_EPOCH == 0:
+                self.save_checkpoint("latest", state=state, epoch=epoch,
+                                     state_kind=kind,
+                                     stopped_early=watchdog_fired)
+
+            if watchdog_fired:
+                logger.info(
+                    "LR watchdog: all fits frozen at epoch %d", epoch
+                )
+                stopped_early = True
+                break
 
             for fn in self.handles["epoch_processed"]:
                 fn(self, epoch)
@@ -1064,7 +1077,7 @@ class AwesomeRunner(Runner):
         if self.best_params is None:
             self.best_params = state.params
         self.save_checkpoint("end", state=state, epoch=epoch,
-                             state_kind=kind)
+                             state_kind=kind, stopped_early=stopped_early)
         # final-save handle: plot_final_indices (-1 = all images)
         final_idx = cfg.plot_final_indices
         if final_idx is not None:
@@ -1092,45 +1105,38 @@ class AwesomeRunner(Runner):
         """Locate the newest resumable checkpoint under
         ``<output_folder>/checkpoints`` and restore the full train state.
 
-        Returns ``(state, epoch)`` or ``None`` when nothing resumable
-        exists. The resumed trajectory is bit-identical to an
+        Returns ``(state, epoch, extra_meta)`` or ``None`` when nothing
+        resumable exists. The resumed trajectory is bit-identical to an
         uninterrupted run (tests/test_resume.py): the NamedTuple state
         carries params, optimizer moments, plateau schedule and the
         absolute epoch counter, and the tracker (including its best-model
         gate) is restored from the checkpoint metadata."""
-        import json as _json
-
-        from awesome_tpu.fit.checkpoint import load_pytree, pytree_exists
+        from awesome_tpu.fit.checkpoint import find_resumable, load_pytree
         from awesome_tpu.fit.tracker import Tracker
 
         base = os.path.join(self.output_folder, "checkpoints")
-        best = None  # (epoch, directory, meta)
-        for tag in ("latest", "end"):
-            d = os.path.join(base, tag)
-            mp = os.path.join(d, "meta.json")
-            if not (os.path.exists(mp)
-                    and pytree_exists(os.path.join(d, "train_state"))):
-                continue
-            with open(mp) as f:
-                meta = _json.load(f)
-            ex = meta.get("extra") or {}
-            ep = int(ex.get("epoch", -1))
-            if ex.get("state_kind") != kind or ep <= 0:
-                continue
-            if best is None or ep > best[0]:
-                best = (ep, d, meta)
+        best = find_resumable(base, kind)
         if best is None:
             logger.info("resume requested but no resumable checkpoint "
                         "under %s — starting fresh", base)
             return None
         ep, d, meta = best
-        if ep % seg_len:
+        ex = meta.get("extra") or {}
+        # a watchdog-stopped run needs no alignment: nothing more trains
+        if ep % seg_len and not ex.get("stopped_early"):
             raise ValueError(
                 f"resume checkpoint at epoch {ep} is not aligned to the "
                 f"segment length {seg_len} — a cadence/num_epochs config "
                 "change since the checkpoint was written is not resumable"
             )
-        ep = min(ep, num_epochs)
+        if ep >= num_epochs:
+            # never relabel a later-epoch state with a smaller epoch: the
+            # loop simply has nothing left to run, and the re-saved 'end'
+            # keeps the TRUE epoch so later resumes stay truthful
+            logger.info(
+                "resume checkpoint epoch %d >= num_epochs %d — nothing "
+                "left to train", ep, num_epochs,
+            )
         restored = load_pytree(os.path.join(d, "train_state"),
                                template=tuple(template_state))
         state = type(template_state)(*restored)
@@ -1148,11 +1154,11 @@ class AwesomeRunner(Runner):
                 )
         logger.info("Resuming %s from %s at epoch %d",
                     self.config.run_name, d, ep)
-        return state, ep
+        return state, ep, ex
 
     # --- saving / image dumps ---------------------------------------------
     def save_checkpoint(self, tag: str, state=None, epoch=None,
-                        state_kind=None) -> str:
+                        state_kind=None, stopped_early: bool = False) -> str:
         """Agent-checkpoint save (params + tracker + config snapshot).
         Spec: `awesome/run/handles.py:195-232` save/prior-save handles.
 
@@ -1164,6 +1170,7 @@ class AwesomeRunner(Runner):
         params post-hoc (`awesome/agent/torch_agent.py:1090-1136`)."""
         from awesome_tpu.fit.checkpoint import (
             AgentCheckpoint,
+            atomic_dir,
             save_prior_cache,
             save_pytree,
         )
@@ -1177,22 +1184,26 @@ class AwesomeRunner(Runner):
         extra = {}
         if epoch is not None:
             extra["epoch"] = int(epoch)
+            extra["stopped_early"] = bool(stopped_early)
         if state_kind is not None:
             extra["state_kind"] = state_kind
-        AgentCheckpoint(
-            name=self.config.run_name,
-            params=params,
-            tracker=self.tracker.to_dict(),
-            config=to_jsonable(self.config),
-            extra=extra,
-        ).save(directory)
-        if state is not None:
-            # plain tuple: robust through Orbax's dict round trip
-            save_pytree(tuple(state), os.path.join(directory, "train_state"))
-        if isinstance(params, dict) and "prior" in params:
-            save_prior_cache(
-                params["prior"], os.path.join(directory, "prior_cache.npz")
-            )
+        # atomic swap: a preemption mid-save leaves the previous complete
+        # checkpoint intact (tag or its .old twin) instead of a torn one
+        with atomic_dir(directory) as tmp:
+            AgentCheckpoint(
+                name=self.config.run_name,
+                params=params,
+                tracker=self.tracker.to_dict(),
+                config=to_jsonable(self.config),
+                extra=extra,
+            ).save(tmp)
+            if state is not None:
+                # plain tuple: robust through Orbax's dict round trip
+                save_pytree(tuple(state), os.path.join(tmp, "train_state"))
+            if isinstance(params, dict) and "prior" in params:
+                save_prior_cache(
+                    params["prior"], os.path.join(tmp, "prior_cache.npz")
+                )
         return directory
 
     def _maybe_dump_images(self, epoch: int, force: bool = False) -> None:

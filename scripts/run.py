@@ -52,22 +52,29 @@ def _resolve_resume_folder(cfg) -> None:
     preempted job restarted with the identical command + --resume picks
     up exactly where it left off; `AwesomeRunner._try_resume` restores
     the full train state bit-identically)."""
-    import glob
+    import re
 
     if not getattr(cfg, "resume", False) or cfg.output_folder:
         return
-    suffix = f"_{cfg.name_experiment or 'run'}"
+    name = cfg.name_experiment or "run"
+    # exact match on <timestamp>_<name_experiment> — a plain suffix glob
+    # would let experiment 'unet' resume into a newer 'refit_unet' folder
+    pat = re.compile(
+        r"^\d{4}-\d{2}-\d{2}_\d{2}-\d{2}-\d{2}_" + re.escape(name) + r"$"
+    )
     cands = sorted(
-        d
-        for d in glob.glob(os.path.join(cfg.runs_path, "*" + suffix))
-        if os.path.isdir(os.path.join(d, "checkpoints"))
+        os.path.join(cfg.runs_path, d)
+        for d in (os.listdir(cfg.runs_path)
+                  if os.path.isdir(cfg.runs_path) else [])
+        if pat.match(d)
+        and os.path.isdir(os.path.join(cfg.runs_path, d, "checkpoints"))
     )
     if cands:
         cfg.output_folder = cands[-1]
         logging.info("resume: picked up run folder %s", cands[-1])
     else:
         logging.info("resume: no prior run folder for %r — starting fresh",
-                     suffix)
+                     name)
 
 
 def _is_fbms(cfg) -> bool:
@@ -103,8 +110,24 @@ def main_fbms(cfg) -> None:
         logging.info("Eval: %s", runner.evaluate())
         return
     if cfg.do_pretraining:
-        res = runner.run_pretrain_only_from_config()
-        logging.info("Prior pretrain: %s", res)
+        # a resumable joint checkpoint supersedes the prior pretrain
+        # entirely (the restored JointTrainState carries the priors) —
+        # don't redo hours of prefit on every preemption restart
+        from awesome_tpu.fit.checkpoint import find_resumable
+
+        ck = (os.path.join(cfg.output_folder, "checkpoints")
+              if cfg.output_folder else None)
+        skip = bool(
+            getattr(cfg, "resume", False) and not cfg.pretrain_only
+            and ck and (find_resumable(ck, "joint")
+                        or find_resumable(ck, "multi"))
+        )
+        if skip:
+            logging.info("resume: joint checkpoint found in %s — "
+                         "skipping prior pretrain", ck)
+        else:
+            res = runner.run_pretrain_only_from_config()
+            logging.info("Prior pretrain: %s", res)
         if cfg.pretrain_only:
             return
     res = runner.train_joint_from_config()

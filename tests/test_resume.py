@@ -239,6 +239,122 @@ def test_fbms_multi_object_resume_bit_identical(tmp_path):
     assert len(out["loss"]) == 2  # started fresh at epoch 0
 
 
+def test_find_resumable_torn_meta_old_twin_and_kind(tmp_path):
+    """The checkpoint scanner is preemption-proof: torn meta.json is
+    skipped (never fatal), the `.old` crash-window twin left by an
+    interrupted atomic swap is found, and state kinds never cross."""
+    from awesome_tpu.fit.checkpoint import (
+        atomic_dir,
+        find_resumable,
+        save_pytree,
+    )
+    import json
+
+    def write_ck(d, extra):
+        os.makedirs(d, exist_ok=True)
+        save_pytree((np.zeros(2),), os.path.join(d, "train_state"))
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({"extra": extra}, f)
+
+    base = str(tmp_path / "ck")
+    write_ck(os.path.join(base, "end"),
+             {"epoch": 4, "state_kind": "joint"})
+    # 'latest' meta torn mid-write: must be skipped, 'end' wins
+    write_ck(os.path.join(base, "latest"),
+             {"epoch": 8, "state_kind": "joint"})
+    with open(os.path.join(base, "latest", "meta.json"), "w") as f:
+        f.write('{"extra": {"epo')  # truncated
+    got = find_resumable(base, "joint")
+    assert got is not None and got[0] == 4
+
+    # crash window: 'latest' was renamed to '.old' but the new save
+    # never landed — the twin must be picked up
+    os.rename(os.path.join(base, "latest"),
+              os.path.join(base, "latest.old"))
+    write_ck(os.path.join(base, "latest.old"),
+             {"epoch": 6, "state_kind": "joint"})
+    got = find_resumable(base, "joint")
+    assert got is not None and got[0] == 6
+
+    # kind mismatch is invisible
+    assert find_resumable(base, "multi") is None
+
+    # atomic swap leaves no .tmp/.old residue and the result is complete
+    tag = os.path.join(base, "atomic")
+    for epoch in (2, 4):
+        with atomic_dir(tag) as tmp:
+            write_ck(tmp, {"epoch": epoch, "state_kind": "joint"})
+    assert not os.path.exists(tag + ".tmp")
+    assert not os.path.exists(tag + ".old")
+    got = find_resumable(base, "joint", tags=("atomic",))
+    assert got is not None and got[0] == 4
+
+
+def test_resume_stopped_early_trains_nothing(tmp_path):
+    """A watchdog-stopped run records stopped_early; restarting it with
+    resume=True trains ZERO extra epochs (otherwise every preemption
+    restart of a converged run would mutate the model by one epoch)."""
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+
+    def make_runner():
+        cfg = FBMSExperimentConfig(
+            dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+            convex_hidden_units=12, convex_hidden_layers=1,
+        )
+        r = FBMSRunner(cfg)
+        r.build()
+        return r
+
+    ck = str(tmp_path / "stop_ck")
+    kw = dict(batch_size=2, lr=1e-3, prior_lr=1e-3, checkpoint_dir=ck,
+              scheduler={"type": "step", "gamma": 0.5, "step_size": 1},
+              watchdog_lr=2.5e-4)  # fires once lr_scale decays to 0.25
+    stopped = make_runner()
+    res = stopped.train_joint(num_epochs=6, **kw)
+    assert res["stopped_early"] is True
+    n_epochs_ran = len(res["loss"]) // 3  # 3 batches of 2 per epoch
+    assert 0 < n_epochs_ran < 6
+
+    resumed = make_runner()
+    res2 = resumed.train_joint(num_epochs=6, resume=True, **kw)
+    assert res2["stopped_early"] is True
+    assert res2["loss"] == []  # nothing trained on restart
+    for a, b in zip(_leaves(tuple(stopped.joint_state)),
+                    _leaves(tuple(resumed.joint_state))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_resume_shrunken_num_epochs_keeps_true_epoch(tmp_path):
+    """Resuming a completed 40-epoch run with num_epochs=20 must train
+    nothing AND must not relabel the epoch-40 state as epoch 20 (a later
+    40-epoch resume would otherwise train 20 extra epochs)."""
+    import json
+
+    part = AwesomeRunner(_config(tmp_path, "shrunk", num_epochs=40))
+    part.build()
+    part.train()
+
+    resumed = AwesomeRunner(
+        _config(tmp_path, "shrunk", resume=True, num_epochs=20)
+    )
+    resumed.build()
+    res = resumed.train()
+    assert res["loss_hist"].shape[1] == 0  # nothing trained
+    for a, b in zip(_leaves(part.stacked_params),
+                    _leaves(resumed.stacked_params)):
+        np.testing.assert_array_equal(a, b)
+    with open(os.path.join(resumed.output_folder, "checkpoints", "end",
+                           "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["extra"]["epoch"] == 40  # true epoch preserved
+
+
 def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
     import importlib.util
     import sys
@@ -260,6 +376,16 @@ def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
     )
     mod._resolve_resume_folder(cfg)
     assert cfg.output_folder == str(new)
+
+    # a DIFFERENT experiment whose name merely ends with this one must
+    # never be picked up, even if newer ('unet' vs 'refit_unet')
+    trap = tmp_path / "2022-01-01_00-00-00_other_resume"
+    (trap / "checkpoints").mkdir(parents=True)
+    cfg3 = AwesomeConfig(
+        name_experiment="resume", runs_path=str(tmp_path), resume=True
+    )
+    mod._resolve_resume_folder(cfg3)
+    assert cfg3.output_folder == str(new)
 
     # no matching folder: stays fresh (None)
     cfg2 = AwesomeConfig(
