@@ -77,6 +77,21 @@ def _resolve_resume_folder(cfg) -> None:
                      name)
 
 
+def _skip_pretrain_on_resume(cfg) -> bool:
+    """A resumable joint checkpoint supersedes the prior pretrain entirely
+    (the restored JointTrainState carries the priors) — don't redo hours
+    of prefit on every preemption restart. Never skips a pretrain_only
+    run: its DELIVERABLE is the pretrain."""
+    from awesome_tpu.fit.checkpoint import find_resumable
+
+    if not getattr(cfg, "resume", False) or cfg.pretrain_only:
+        return False
+    if not cfg.output_folder:
+        return False
+    ck = os.path.join(cfg.output_folder, "checkpoints")
+    return bool(find_resumable(ck, "joint") or find_resumable(ck, "multi"))
+
+
 def _is_fbms(cfg) -> bool:
     """FBMS configs = the dataset TYPE (outer, or the nested wrapped
     dataset's class tag) is an FBMS sequence dataset — never a substring
@@ -110,21 +125,9 @@ def main_fbms(cfg) -> None:
         logging.info("Eval: %s", runner.evaluate())
         return
     if cfg.do_pretraining:
-        # a resumable joint checkpoint supersedes the prior pretrain
-        # entirely (the restored JointTrainState carries the priors) —
-        # don't redo hours of prefit on every preemption restart
-        from awesome_tpu.fit.checkpoint import find_resumable
-
-        ck = (os.path.join(cfg.output_folder, "checkpoints")
-              if cfg.output_folder else None)
-        skip = bool(
-            getattr(cfg, "resume", False) and not cfg.pretrain_only
-            and ck and (find_resumable(ck, "joint")
-                        or find_resumable(ck, "multi"))
-        )
-        if skip:
-            logging.info("resume: joint checkpoint found in %s — "
-                         "skipping prior pretrain", ck)
+        if _skip_pretrain_on_resume(cfg):
+            logging.info("resume: joint checkpoint found — skipping "
+                         "prior pretrain")
         else:
             res = runner.run_pretrain_only_from_config()
             logging.info("Prior pretrain: %s", res)

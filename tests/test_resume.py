@@ -393,3 +393,40 @@ def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
     )
     mod._resolve_resume_folder(cfg2)
     assert cfg2.output_folder is None
+
+
+def test_cli_skip_pretrain_on_resume(tmp_path):
+    """--resume with an existing resumable joint checkpoint skips the
+    prior pretrain (the restored JointTrainState supersedes it) — but a
+    pretrain_only run never skips, and a fresh resume (no checkpoint)
+    still pretrains (train_joint would otherwise lose its prior init)."""
+    import importlib.util
+    import json
+    import sys
+
+    from awesome_tpu.fit.checkpoint import save_pytree
+
+    spec = importlib.util.spec_from_file_location(
+        "run_script2",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "run.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["run_script2"] = spec.loader.exec_module(mod) or mod
+
+    out = tmp_path / "run"
+    cfg = AwesomeConfig(output_folder=str(out), resume=True)
+    # no checkpoint yet: must pretrain
+    assert mod._skip_pretrain_on_resume(cfg) is False
+
+    d = out / "checkpoints" / "latest"
+    d.mkdir(parents=True)
+    save_pytree((np.zeros(2),), str(d / "train_state"))
+    with open(d / "meta.json", "w") as f:
+        json.dump({"extra": {"epoch": 3, "state_kind": "joint"}}, f)
+    assert mod._skip_pretrain_on_resume(cfg) is True
+    # pretrain_only's deliverable IS the pretrain: never skipped
+    cfg.pretrain_only = True
+    assert mod._skip_pretrain_on_resume(cfg) is False
+    cfg.pretrain_only = False
+    cfg.resume = False
+    assert mod._skip_pretrain_on_resume(cfg) is False
