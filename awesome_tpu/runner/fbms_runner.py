@@ -842,7 +842,39 @@ class FBMSRunner:
             metrics["CRFMeanPixelAccuracy"] = float(np.mean(crf_accs))
         return metrics
 
-    def train_joint_multi_object(
+    def _run_with_emergency(self, fn, state_attr: str, kwargs: Dict):
+        """Emergency-dump wrapper for the joint loops: an unexpected error
+        dumps the newest host-visible train state + traceback under
+        ``<checkpoint_dir>/emergency`` before re-raising (reference
+        `awesome/agent/torch_agent.py:1063` emergency_save)."""
+        try:
+            return fn(**kwargs)
+        except BaseException as err:
+            ckdir = kwargs.get("checkpoint_dir")
+            if ckdir:
+                from awesome_tpu.fit.checkpoint import emergency_save
+
+                try:
+                    st = getattr(self, state_attr, None)
+                    d = emergency_save(
+                        os.path.join(ckdir, "emergency"),
+                        params=tuple(st) if st is not None else None,
+                        error=err,
+                    )
+                    logger.error("joint training failed (%r) — emergency "
+                                 "state dumped to %s", err, d)
+                except Exception:
+                    logger.exception("emergency save itself failed")
+            raise
+
+    def train_joint_multi_object(self, **kwargs) -> Dict:
+        """Emergency-dump wrapper around
+        :meth:`_train_joint_multi_object_impl` (see its docstring)."""
+        return self._run_with_emergency(
+            self._train_joint_multi_object_impl, "multi_state", kwargs
+        )
+
+    def _train_joint_multi_object_impl(
         self,
         max_objects: int = 2,
         initial_count: Optional[int] = None,
@@ -1196,7 +1228,14 @@ class FBMSRunner:
             },
         }
 
-    def train_joint(
+    def train_joint(self, **kwargs) -> Dict:
+        """Emergency-dump wrapper around :meth:`_train_joint_impl`
+        (see its docstring for the full contract)."""
+        return self._run_with_emergency(
+            self._train_joint_impl, "joint_state", kwargs
+        )
+
+    def _train_joint_impl(
         self,
         num_epochs: int = 15,
         lr: float = 1e-4,

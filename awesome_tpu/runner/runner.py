@@ -911,6 +911,29 @@ class AwesomeRunner(Runner):
         return out
 
     def train(self) -> Dict[str, Any]:
+        """Run the full training protocol; an unexpected error dumps the
+        newest host-visible params + the error for post-mortem before
+        re-raising (reference `awesome/agent/torch_agent.py:1063`
+        emergency_save on training exceptions)."""
+        try:
+            return self._train_impl()
+        except BaseException as err:
+            from awesome_tpu.fit.checkpoint import emergency_save
+
+            try:
+                d = emergency_save(
+                    os.path.join(self.output_folder, "checkpoints",
+                                 "emergency"),
+                    params=self.stacked_params, error=err,
+                    extra={"epoch": getattr(self.tracker, "epoch", None)},
+                )
+                logger.error("training failed (%r) — emergency state "
+                             "dumped to %s", err, d)
+            except Exception:
+                logger.exception("emergency save itself failed")
+            raise
+
+    def _train_impl(self) -> Dict[str, Any]:
         import math
 
         import jax

@@ -355,6 +355,44 @@ def test_resume_shrunken_num_epochs_keeps_true_epoch(tmp_path):
     assert meta["extra"]["epoch"] == 40  # true epoch preserved
 
 
+def test_joint_emergency_dump_on_failure(tmp_path, monkeypatch):
+    """An unexpected error inside joint training dumps the newest
+    host-visible state + traceback under <checkpoint_dir>/emergency
+    before re-raising (reference torch_agent.py:1063 emergency_save)."""
+    import json
+
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    cfg = FBMSExperimentConfig(
+        dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+        convex_hidden_units=12, convex_hidden_layers=1,
+    )
+    runner = FBMSRunner(cfg)
+    runner.build()
+    monkeypatch.setattr(
+        FBMSRunner, "evaluate_joint",
+        lambda self, **kw: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    ck = str(tmp_path / "em_ck")
+    with pytest.raises(RuntimeError, match="boom"):
+        runner.train_joint(num_epochs=2, batch_size=2, lr=1e-3,
+                           prior_lr=1e-3, eval_nth_epoch=1,
+                           checkpoint_dir=ck)
+    em = os.path.join(ck, "emergency")
+    with open(os.path.join(em, "emergency.json")) as f:
+        meta = json.load(f)
+    assert "boom" in meta["error"]
+    assert "evaluate_joint" in meta["traceback"]
+    from awesome_tpu.fit.checkpoint import pytree_exists
+
+    assert pytree_exists(os.path.join(em, "params"))
+
+
 def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
     import importlib.util
     import sys
