@@ -252,6 +252,26 @@ def find_resumable(base: str, kind: str,
     return best[0][0], best[1], best[2]
 
 
+def load_tag_with_twin(base: str, tag: str, subpath: str,
+                       template: Any) -> Optional[Any]:
+    """Load ``<base>/<tag>/<subpath>`` with fallback to the tag's
+    ``.old`` atomic-swap crash twin (a preemption during a tag save can
+    leave only the twin — see ``atomic_dir``). Returns the loaded pytree
+    or ``None`` when neither directory holds a readable save."""
+    d0 = os.path.join(base, tag)
+    for d in (d0, d0 + ".old"):
+        p = os.path.join(d, subpath)
+        if not (os.path.exists(os.path.join(d, "meta.json"))
+                and pytree_exists(p)):
+            continue
+        try:
+            return load_pytree(p, template=template)
+        except Exception as e:  # torn save: fall through to the twin
+            logger.warning("checkpoint %s unreadable (%s); trying twin",
+                           d, e)
+    return None
+
+
 def save_prior_cache(stacked_params: Any, path: str) -> None:
     """Prior-cache checkpoint: the stacked per-image tree in one file."""
     save_pytree(stacked_params, path)

@@ -1109,6 +1109,8 @@ class FBMSRunner:
                 jnp.float32(lr_scale),
             )
             losses.append(metrics["loss"])
+            # newest state reachable for the emergency dump (no host sync)
+            self.multi_state = state
             completed = e + 1
             lr_scale = sched.update(
                 e,
@@ -1421,6 +1423,10 @@ class FBMSRunner:
                 jnp.float32(lr_scale),
             )
             epoch_metrics.append(metrics)  # device arrays; no sync here
+            # keep the newest state reachable for the emergency dump
+            # (reference only — no host sync; eval/plot ticks re-assign
+            # the same object after block_until_ready)
+            self.joint_state = state
             completed = e + 1
             lr_scale = sched.update(
                 e,
@@ -1599,11 +1605,7 @@ class FBMSRunner:
         bit-identical to an uninterrupted one (tests/test_resume.py)."""
         import os
 
-        from awesome_tpu.fit.checkpoint import (
-            find_resumable,
-            load_pytree,
-            pytree_exists,
-        )
+        from awesome_tpu.fit.checkpoint import find_resumable, load_pytree
         from awesome_tpu.fit.tracker import Tracker
 
         best = find_resumable(checkpoint_dir, kind)
@@ -1622,16 +1624,17 @@ class FBMSRunner:
         if meta.get("tracker"):
             self.joint_tracker = Tracker.from_dict(meta["tracker"])
         sched.load_state_dict((meta.get("extra") or {}).get("sched") or {})
-        bdir = os.path.join(checkpoint_dir, "best")
-        if pytree_exists(os.path.join(bdir, "train_state")):
-            try:
-                setattr(self, best_attr, type(template_state)(*load_pytree(
-                    os.path.join(bdir, "train_state"),
-                    template=tuple(template_state),
-                )))
-            except Exception:
-                logger.warning("best joint checkpoint unreadable; "
-                               "best-model restarts")
+        # 'best' or its .old atomic-swap crash twin (a preemption
+        # mid-best-save can leave only the twin)
+        from awesome_tpu.fit.checkpoint import load_tag_with_twin
+
+        bst = load_tag_with_twin(checkpoint_dir, "best", "train_state",
+                                 tuple(template_state))
+        if bst is not None:
+            setattr(self, best_attr, type(template_state)(*bst))
+        else:
+            logger.info("no readable best joint checkpoint; "
+                        "best-model restarts")
         logger.info("Resuming joint training from %s at epoch %d", d, ep)
         return state, ep, (meta.get("extra") or {})
 

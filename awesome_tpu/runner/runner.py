@@ -1015,15 +1015,23 @@ class AwesomeRunner(Runner):
         trainable = jnp.asarray(trainable)
 
         # training_starts handles: initial eval metrics (+ CRF if configured)
-        # — already in the restored tracker when resuming mid-run
-        if start_seg == 0:
+        # — already in the restored tracker when resuming mid-run, and a
+        # resumed checkpoint always has epoch >= 1 (start_seg can floor to
+        # 0 for a stopped run whose epoch is below the new seg_len)
+        if start_epoch == 0:
             if cfg.compute_metrics_during_training_nth_epoch:
                 self.evaluate(compute_crf=cfg.compute_crf_with_metrics)
             self._maybe_dump_images(epoch=0)
 
         loss_chunks = []
         stopped_early = resumed_stopped
-        epoch = start_epoch if resumed_stopped else start_seg * seg_len
+        # keep the TRUE epoch when nothing is left to train (stopped run,
+        # or checkpoint >= num_epochs under a changed cadence) — never
+        # relabel a later-epoch state backwards; aligned mid-run resumes
+        # have start_epoch == start_seg * seg_len anyway
+        epoch = (start_epoch
+                 if (resumed_stopped or start_epoch >= num_epochs)
+                 else start_seg * seg_len)
         for seg_i in range(start_seg, num_epochs // seg_len):
             if stopped_early:
                 break
@@ -1134,7 +1142,11 @@ class AwesomeRunner(Runner):
         carries params, optimizer moments, plateau schedule and the
         absolute epoch counter, and the tracker (including its best-model
         gate) is restored from the checkpoint metadata."""
-        from awesome_tpu.fit.checkpoint import find_resumable, load_pytree
+        from awesome_tpu.fit.checkpoint import (
+            find_resumable,
+            load_pytree,
+            load_tag_with_twin,
+        )
         from awesome_tpu.fit.tracker import Tracker
 
         base = os.path.join(self.output_folder, "checkpoints")
@@ -1145,36 +1157,36 @@ class AwesomeRunner(Runner):
             return None
         ep, d, meta = best
         ex = meta.get("extra") or {}
-        # a watchdog-stopped run needs no alignment: nothing more trains
-        if ep % seg_len and not ex.get("stopped_early"):
+        if ep >= num_epochs:
+            # never relabel a later-epoch state with a smaller epoch: the
+            # loop simply has nothing left to run, and the re-saved 'end'
+            # keeps the TRUE epoch so later resumes stay truthful.
+            # Checked BEFORE alignment: a complete run resumed under a
+            # different cadence must no-op, not crash.
+            logger.info(
+                "resume checkpoint epoch %d >= num_epochs %d — nothing "
+                "left to train", ep, num_epochs,
+            )
+        elif ep % seg_len and not ex.get("stopped_early"):
+            # a watchdog-stopped run needs no alignment: nothing more trains
             raise ValueError(
                 f"resume checkpoint at epoch {ep} is not aligned to the "
                 f"segment length {seg_len} — a cadence/num_epochs config "
                 "change since the checkpoint was written is not resumable"
-            )
-        if ep >= num_epochs:
-            # never relabel a later-epoch state with a smaller epoch: the
-            # loop simply has nothing left to run, and the re-saved 'end'
-            # keeps the TRUE epoch so later resumes stay truthful
-            logger.info(
-                "resume checkpoint epoch %d >= num_epochs %d — nothing "
-                "left to train", ep, num_epochs,
             )
         restored = load_pytree(os.path.join(d, "train_state"),
                                template=tuple(template_state))
         state = type(template_state)(*restored)
         if meta.get("tracker"):
             self.tracker = Tracker.from_dict(meta["tracker"])
-        bdir = os.path.join(base, "best")
-        if os.path.exists(os.path.join(bdir, "meta.json")):
-            try:
-                self.best_params = load_pytree(
-                    os.path.join(bdir, "params"), template=state.params
-                )
-            except Exception:
-                logger.warning(
-                    "best checkpoint unreadable; best-model restarts"
-                )
+        # 'best' or its .old crash twin (a preemption mid-best-save can
+        # leave only the twin — without it the restored best-model gate
+        # would block re-saving until a strictly better metric)
+        bp = load_tag_with_twin(base, "best", "params", state.params)
+        if bp is not None:
+            self.best_params = bp
+        else:
+            logger.info("no readable best checkpoint; best-model restarts")
         logger.info("Resuming %s from %s at epoch %d",
                     self.config.run_name, d, ep)
         return state, ep, ex

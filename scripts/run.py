@@ -77,11 +77,24 @@ def _resolve_resume_folder(cfg) -> None:
                      name)
 
 
+def _joint_state_kind(cfg) -> str:
+    """The checkpoint kind this config's joint dispatch produces/consumes
+    — mirrors ``FBMSRunner.train_joint_from_config``'s label_mode
+    routing (multiple_objects -> the multi-object engine)."""
+    ds = (cfg.dataset_args or {}).get("dataset") or {}
+    lm = ds.get("label_mode")
+    if isinstance(lm, dict):
+        lm = lm.get("value")
+    return "multi" if lm == "multiple_objects" else "joint"
+
+
 def _skip_pretrain_on_resume(cfg) -> bool:
     """A resumable joint checkpoint supersedes the prior pretrain entirely
     (the restored JointTrainState carries the priors) — don't redo hours
     of prefit on every preemption restart. Never skips a pretrain_only
-    run: its DELIVERABLE is the pretrain."""
+    run: its DELIVERABLE is the pretrain. Only a checkpoint of the kind
+    THIS config dispatches to counts — a stale cross-kind checkpoint in
+    the same folder must not skip a pretrain the resume can't restore."""
     from awesome_tpu.fit.checkpoint import find_resumable
 
     if not getattr(cfg, "resume", False) or cfg.pretrain_only:
@@ -89,7 +102,7 @@ def _skip_pretrain_on_resume(cfg) -> bool:
     if not cfg.output_folder:
         return False
     ck = os.path.join(cfg.output_folder, "checkpoints")
-    return bool(find_resumable(ck, "joint") or find_resumable(ck, "multi"))
+    return bool(find_resumable(ck, _joint_state_kind(cfg)))
 
 
 def _is_fbms(cfg) -> bool:

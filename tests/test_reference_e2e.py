@@ -76,6 +76,7 @@ def test_joint_fbms_yaml_end_to_end(tmp_path):
     assert cfg.num_epochs == 15
     # tiny synthetic sequence replica; shrink prior for CI speed
     seq = _write_sequence(tmp_path)
+    cfg.runs_path = str(tmp_path)  # per-epoch checkpoints stay out of cwd
     cfg.prior_model_args.update(
         hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
         convex_net_hidden_layers=1,
@@ -170,6 +171,7 @@ def test_refit_prior_only_yaml_end_to_end(tmp_path):
     assert cfg.segmentation_training_mode == "none"
     assert cfg.loss_type == "fbms_joint_loss"
     seq = _write_sequence(tmp_path)
+    cfg.runs_path = str(tmp_path)  # per-epoch checkpoints stay out of cwd
     cfg.prior_model_args.update(
         hidden_units=8, flow_n_flows=2, convex_net_hidden_units=12,
         convex_net_hidden_layers=1,

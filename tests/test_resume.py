@@ -132,6 +132,58 @@ def test_resume_rejects_misaligned_cadence(tmp_path):
         bad.train()
 
 
+def test_resume_complete_unaligned_noop(tmp_path):
+    """A COMPLETE run resumed under a different cadence must no-op (the
+    ep >= num_epochs check runs before the alignment check), keep the
+    TRUE epoch, and never crash with 'not aligned'."""
+    part = AwesomeRunner(
+        _config(
+            tmp_path, "done", num_epochs=30,
+            compute_metrics_during_training_nth_epoch=15,
+        )
+    )
+    part.build()
+    part.train()
+
+    # seg_len under the new config is 20; 30 % 20 != 0, but 30 >= 20
+    # means nothing is left to train — clean no-op, not a ValueError
+    resumed = AwesomeRunner(
+        _config(tmp_path, "done", resume=True, num_epochs=20)
+    )
+    resumed.build()
+    res = resumed.train()
+    assert res["loss_hist"].shape[1] == 0  # zero extra epochs
+    # the re-saved 'end' keeps the true epoch so later resumes stay honest
+    import json
+
+    with open(os.path.join(
+        resumed.output_folder, "checkpoints", "end", "meta.json"
+    )) as f:
+        assert json.load(f)["extra"]["epoch"] == 30
+
+
+def test_resume_best_checkpoint_old_twin(tmp_path):
+    """A preemption during the atomic 'best' save leaves only the
+    ``best.old`` crash twin — resume must restore the best params from
+    the twin, not silently lose the best model."""
+    part = AwesomeRunner(_config(tmp_path, "twin", num_epochs=20))
+    part.build()
+    part.train()
+    ck = os.path.join(part.output_folder, "checkpoints")
+    assert os.path.isdir(os.path.join(ck, "best"))
+    # simulate the atomic_dir crash window: best/ renamed away, tmp lost
+    os.rename(os.path.join(ck, "best"), os.path.join(ck, "best.old"))
+
+    resumed = AwesomeRunner(
+        _config(tmp_path, "twin", resume=True, num_epochs=20)
+    )
+    resumed.build()
+    resumed.train()  # complete: no-op resume, restore only
+    assert resumed.best_params is not None
+    for a, b in zip(_leaves(part.best_params), _leaves(resumed.best_params)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_fbms_joint_resume_bit_identical(tmp_path):
     """The FBMS joint loop resumes from its nth-epoch 'latest' full-state
     saves (params + both optimizers' moments + seg batch-norm state +
@@ -393,6 +445,49 @@ def test_joint_emergency_dump_on_failure(tmp_path, monkeypatch):
     assert pytree_exists(os.path.join(em, "params"))
 
 
+def test_joint_emergency_dump_without_eval_cadence(tmp_path, monkeypatch):
+    """A crash MID-LOOP with no eval/plot cadence still dumps the newest
+    train state: the loop keeps ``self.joint_state`` fresh every epoch,
+    not only at eval ticks."""
+    import json
+
+    from awesome_tpu.runner.fbms_runner import (
+        FBMSExperimentConfig,
+        FBMSRunner,
+    )
+    import awesome_tpu.fit.trainer as trainer_mod
+    from tests.test_fbms import _write_sequence
+
+    seq = _write_sequence(tmp_path)
+    cfg = FBMSExperimentConfig(
+        dataset_path=str(seq), prior_hidden_units=8, prior_flows=2,
+        convex_hidden_units=12, convex_hidden_layers=1,
+    )
+    runner = FBMSRunner(cfg)
+    runner.build()
+    real = trainer_mod.epoch_batches
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # epoch 1 trains, epoch 2 crashes
+            raise RuntimeError("mid-loop boom")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(trainer_mod, "epoch_batches", boom)
+    ck = str(tmp_path / "em_ck2")
+    with pytest.raises(RuntimeError, match="mid-loop boom"):
+        runner.train_joint(num_epochs=3, batch_size=2, lr=1e-3,
+                           prior_lr=1e-3, checkpoint_dir=ck)
+    em = os.path.join(ck, "emergency")
+    with open(os.path.join(em, "emergency.json")) as f:
+        meta = json.load(f)
+    assert "mid-loop boom" in meta["error"]
+    from awesome_tpu.fit.checkpoint import pytree_exists
+
+    assert pytree_exists(os.path.join(em, "params"))
+
+
 def test_cli_resume_folder_pickup(tmp_path, monkeypatch):
     import importlib.util
     import sys
@@ -468,3 +563,14 @@ def test_cli_skip_pretrain_on_resume(tmp_path):
     cfg.pretrain_only = False
     cfg.resume = False
     assert mod._skip_pretrain_on_resume(cfg) is False
+    # cross-kind stale checkpoint must NOT skip: a 'multi' checkpoint
+    # cannot seed a single-object joint resume (and vice versa) — the
+    # pretrain would be skipped while the resume finds nothing
+    cfg.resume = True
+    with open(d / "meta.json", "w") as f:
+        json.dump({"extra": {"epoch": 3, "state_kind": "multi"}}, f)
+    assert mod._skip_pretrain_on_resume(cfg) is False
+    cfg.dataset_args = {
+        "dataset": {"label_mode": {"value": "multiple_objects"}}
+    }
+    assert mod._skip_pretrain_on_resume(cfg) is True
