@@ -291,6 +291,38 @@ def test_fbms_multi_object_resume_bit_identical(tmp_path):
     assert len(out["loss"]) == 2  # started fresh at epoch 0
 
 
+def test_load_tag_with_twin_torn_primary_falls_back(tmp_path):
+    """A torn PRIMARY tag (meta present, pytree unreadable) must fall
+    through to the ``.old`` twin rather than fail or return None."""
+    import json
+
+    from awesome_tpu.fit.checkpoint import load_tag_with_twin, save_pytree
+
+    base = tmp_path / "ck"
+    good = np.arange(4.0)
+    for d, arr in (("best.old", good), ("best", good + 1)):
+        (base / d).mkdir(parents=True)
+        save_pytree((arr,), str(base / d / "params"))
+        with open(base / d / "meta.json", "w") as f:
+            json.dump({"extra": {}}, f)
+    # tear the primary's payload: meta survives, pytree is garbage
+    # (Orbax saves a directory — empty it; npz fallback — corrupt the file)
+    pp = base / "best" / "params"
+    if pp.is_dir():
+        import shutil
+
+        shutil.rmtree(pp)
+        pp.mkdir()
+    else:
+        (base / "best" / "params.npz").write_bytes(b"torn")
+    got = load_tag_with_twin(str(base), "best", "params", (good,))
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got[0]), good)
+
+    # neither directory readable -> None, not an exception
+    assert load_tag_with_twin(str(base), "nope", "params", (good,)) is None
+
+
 def test_find_resumable_torn_meta_old_twin_and_kind(tmp_path):
     """The checkpoint scanner is preemption-proof: torn meta.json is
     skipped (never fatal), the `.old` crash-window twin left by an
