@@ -267,9 +267,101 @@ def load_tag_with_twin(base: str, tag: str, subpath: str,
         try:
             return load_pytree(p, template=template)
         except Exception as e:  # torn save: fall through to the twin
-            logger.warning("checkpoint %s unreadable (%s); trying twin",
-                           d, e)
+            if d.endswith(".old"):
+                logger.warning("checkpoint twin %s unreadable (%s); "
+                               "giving up", d, e)
+            else:
+                logger.warning("checkpoint %s unreadable (%s); trying twin",
+                               d, e)
     return None
+
+
+def restore_resumable(
+    checkpoint_dir: str,
+    kind: str,
+    template_state: Any,
+    num_epochs: int,
+    best_subpath: str = "train_state",
+    best_template: Optional[Any] = None,
+    validate=None,
+) -> Optional[Dict]:
+    """The shared resume restore sequence used by every training loop
+    (pixel, FBMS joint, multi-object joint — `runner/runner.py:_try_resume`
+    and `runner/fbms_runner.py:_try_resume_joint` are thin adapters).
+
+    Locates the newest resumable checkpoint of ``kind`` (incl. ``.old``
+    atomic-swap crash twins), rebuilds the full NamedTuple train state
+    from ``template_state``, restores the tracker, and loads the 'best'
+    tag (or its twin). ``validate(epoch, extra)`` runs after discovery
+    and before any loading so cadence-misalignment errors fire first.
+
+    Returns ``None`` when nothing resumable exists, else a dict with
+    ``state`` (rebuilt NamedTuple), ``epoch``, ``meta``, ``extra``,
+    ``tracker`` (restored Tracker or None), ``best`` (raw loaded pytree
+    for ``best_subpath`` or None) and ``dir``.
+
+    Spec: `awesome/agent/torch_agent.py:1090-1136` (the reference only
+    reloads params post-hoc; full bit-identical resume is a TPU-rebuild
+    extension — semantics locked by tests/test_resume.py)."""
+    from awesome_tpu.fit.tracker import Tracker
+
+    found = find_resumable(checkpoint_dir, kind)
+    if found is None:
+        logger.info("resume requested but nothing resumable under %s — "
+                    "starting fresh", checkpoint_dir)
+        return None
+    ep, d, meta = found
+    extra = meta.get("extra") or {}
+    if ep >= num_epochs:
+        # keep the TRUE epoch — the loop just has nothing left to run;
+        # checked BEFORE any caller validation so a complete run resumed
+        # under a different cadence no-ops instead of crashing
+        logger.info("resume checkpoint epoch %d >= num_epochs %d — "
+                    "nothing left to train", ep, num_epochs)
+    elif validate is not None:
+        validate(ep, extra)
+    restored = load_pytree(os.path.join(d, "train_state"),
+                           template=tuple(template_state))
+    state = type(template_state)(*restored)
+    tracker = (Tracker.from_dict(meta["tracker"])
+               if meta.get("tracker") else None)
+    # 'best' or its .old atomic-swap crash twin (a preemption mid-best-
+    # save can leave only the twin — without it the restored best-model
+    # gate would block re-saving until a strictly better metric)
+    bst = load_tag_with_twin(
+        checkpoint_dir, "best", best_subpath,
+        best_template if best_template is not None else tuple(template_state),
+    )
+    if bst is None:
+        logger.info("no readable best checkpoint; best-model restarts")
+    logger.info("Resuming training from %s at epoch %d", d, ep)
+    return {"state": state, "epoch": ep, "meta": meta, "extra": extra,
+            "tracker": tracker, "best": bst, "dir": d}
+
+
+def run_with_emergency(fn, emergency_dir: Optional[str], state_getter,
+                       extra_getter=None):
+    """Run ``fn()``; on an unexpected error dump the newest host-visible
+    train state + traceback under ``emergency_dir`` before re-raising.
+
+    The single emergency wrapper consumed by all training entry points
+    (pixel `runner/runner.py:train` and both FBMS joint loops) —
+    reference `awesome/agent/torch_agent.py:1063` ``emergency_save``.
+    ``state_getter``/``extra_getter`` are called lazily inside the
+    handler so they always observe the newest state at failure time."""
+    try:
+        return fn()
+    except BaseException as err:
+        if emergency_dir:
+            try:
+                extra = extra_getter() if extra_getter is not None else None
+                d = emergency_save(emergency_dir, params=state_getter(),
+                                   error=err, extra=extra)
+                logger.error("training failed (%r) — emergency state "
+                             "dumped to %s", err, d)
+            except Exception:
+                logger.exception("emergency save itself failed")
+        raise
 
 
 def save_prior_cache(stacked_params: Any, path: str) -> None:

@@ -170,6 +170,20 @@ class FBMSRunner:
         runner.awesome_config = cfg
         return runner
 
+    @staticmethod
+    def joint_state_kind(cfg) -> str:
+        """The checkpoint ``state_kind`` this config's joint dispatch
+        produces/consumes — the SINGLE source of truth for the
+        label_mode routing (``multiple_objects`` -> the multi-object
+        engine; `awesome/dataset/label_mode.py`). Used both by
+        ``train_joint_from_config`` and the CLI's resume pretrain-skip
+        predicate (scripts/run.py) so they cannot drift apart."""
+        ds = (cfg.dataset_args or {}).get("dataset") or {}
+        lm = ds.get("label_mode")
+        if isinstance(lm, dict):
+            lm = lm.get("value")
+        return "multi" if lm == "multiple_objects" else "joint"
+
     def train_joint_from_config(self, num_epochs=None, batch_size=None,
                                 eval_epoch0=False):
         """Run the joint experiment with the imported reference settings
@@ -182,15 +196,12 @@ class FBMSRunner:
             raise ValueError("built without from_awesome_config")
         ds = (cfg.dataset_args or {}).get("dataset") or {}
         bs = batch_size or int(ds.get("training_batch_size", 1))
-        label_mode = ds.get("label_mode")
-        if isinstance(label_mode, dict):
-            label_mode = label_mode.get("value")
         if cfg.timestamp is None:  # run_name is always truthy — key on
             cfg.prepare()          # the timestamp that makes it unique
         out_dir = cfg.output_folder or os.path.join(
             cfg.runs_path, cfg.run_name
         )
-        if label_mode == "multiple_objects":
+        if self.joint_state_kind(cfg) == "multi":
             # multi-object label mode (`awesome/dataset/label_mode.py`):
             # shared multi-channel UNet + per-frame child priors
             if cfg.compute_crf_with_metrics:
@@ -843,29 +854,22 @@ class FBMSRunner:
         return metrics
 
     def _run_with_emergency(self, fn, state_attr: str, kwargs: Dict):
-        """Emergency-dump wrapper for the joint loops: an unexpected error
-        dumps the newest host-visible train state + traceback under
-        ``<checkpoint_dir>/emergency`` before re-raising (reference
+        """Emergency-dump wrapper for the joint loops — thin adapter over
+        the shared `fit/checkpoint.py:run_with_emergency` (reference
         `awesome/agent/torch_agent.py:1063` emergency_save)."""
-        try:
-            return fn(**kwargs)
-        except BaseException as err:
-            ckdir = kwargs.get("checkpoint_dir")
-            if ckdir:
-                from awesome_tpu.fit.checkpoint import emergency_save
+        from awesome_tpu.fit.checkpoint import run_with_emergency
 
-                try:
-                    st = getattr(self, state_attr, None)
-                    d = emergency_save(
-                        os.path.join(ckdir, "emergency"),
-                        params=tuple(st) if st is not None else None,
-                        error=err,
-                    )
-                    logger.error("joint training failed (%r) — emergency "
-                                 "state dumped to %s", err, d)
-                except Exception:
-                    logger.exception("emergency save itself failed")
-            raise
+        ckdir = kwargs.get("checkpoint_dir")
+
+        def _state():
+            st = getattr(self, state_attr, None)
+            return tuple(st) if st is not None else None
+
+        return run_with_emergency(
+            lambda: fn(**kwargs),
+            os.path.join(ckdir, "emergency") if ckdir else None,
+            _state,
+        )
 
     def train_joint_multi_object(self, **kwargs) -> Dict:
         """Emergency-dump wrapper around
@@ -1103,6 +1107,9 @@ class FBMSRunner:
                     )
                     state = fit_children(state, refit, fresh_slots)
                 growth_events.append((e, new_count))
+                # keep the emergency dump current: a crash later in this
+                # epoch must capture the GROWN state, not the pre-growth
+                self.multi_state = state
             idx_mat, wgt_mat = epoch_batches(t, bs, rng)
             state, metrics = epoch_fn(
                 state, data, jnp.asarray(idx_mat), jnp.asarray(wgt_mat),
@@ -1599,44 +1606,24 @@ class FBMSRunner:
                           best_attr: str = "best_joint_state"):
         """Restore the newest resumable joint checkpoint (latest/end,
         incl. their ``.old`` crash-window twins).
-        Returns ``(state, start_epoch, extra_meta)`` or ``None``. Mirrors
-        ``AwesomeRunner._try_resume``: full-state restore + tracker with
-        its best-model gate + host LR-schedule state; the resumed run is
-        bit-identical to an uninterrupted one (tests/test_resume.py)."""
-        import os
+        Returns ``(state, start_epoch, extra_meta)`` or ``None``. Thin
+        adapter over the shared `fit/checkpoint.py:restore_resumable`
+        sequence (same as ``AwesomeRunner._try_resume``), adding the
+        joint-loop specifics: host LR-schedule restore + the best state
+        rebuilt as the full NamedTuple; the resumed run is bit-identical
+        to an uninterrupted one (tests/test_resume.py)."""
+        from awesome_tpu.fit.checkpoint import restore_resumable
 
-        from awesome_tpu.fit.checkpoint import find_resumable, load_pytree
-        from awesome_tpu.fit.tracker import Tracker
-
-        best = find_resumable(checkpoint_dir, kind)
-        if best is None:
-            logger.info("joint resume requested but nothing resumable "
-                        "under %s — starting fresh", checkpoint_dir)
+        res = restore_resumable(checkpoint_dir, kind, template_state,
+                                num_epochs)
+        if res is None:
             return None
-        ep, d, meta = best
-        if ep >= num_epochs:
-            # keep the TRUE epoch — the loop just has nothing left to run
-            logger.info("joint resume checkpoint epoch %d >= num_epochs "
-                        "%d — nothing left to train", ep, num_epochs)
-        restored = load_pytree(os.path.join(d, "train_state"),
-                               template=tuple(template_state))
-        state = type(template_state)(*restored)
-        if meta.get("tracker"):
-            self.joint_tracker = Tracker.from_dict(meta["tracker"])
-        sched.load_state_dict((meta.get("extra") or {}).get("sched") or {})
-        # 'best' or its .old atomic-swap crash twin (a preemption
-        # mid-best-save can leave only the twin)
-        from awesome_tpu.fit.checkpoint import load_tag_with_twin
-
-        bst = load_tag_with_twin(checkpoint_dir, "best", "train_state",
-                                 tuple(template_state))
-        if bst is not None:
-            setattr(self, best_attr, type(template_state)(*bst))
-        else:
-            logger.info("no readable best joint checkpoint; "
-                        "best-model restarts")
-        logger.info("Resuming joint training from %s at epoch %d", d, ep)
-        return state, ep, (meta.get("extra") or {})
+        if res["tracker"] is not None:
+            self.joint_tracker = res["tracker"]
+        sched.load_state_dict(res["extra"].get("sched") or {})
+        if res["best"] is not None:
+            setattr(self, best_attr, type(template_state)(*res["best"]))
+        return res["state"], res["epoch"], res["extra"]
 
     def export_tensorboard(self, log_dir: str) -> str:
         """Write the joint tracker's curves as TensorBoard events (real

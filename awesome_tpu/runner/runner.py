@@ -915,23 +915,14 @@ class AwesomeRunner(Runner):
         newest host-visible params + the error for post-mortem before
         re-raising (reference `awesome/agent/torch_agent.py:1063`
         emergency_save on training exceptions)."""
-        try:
-            return self._train_impl()
-        except BaseException as err:
-            from awesome_tpu.fit.checkpoint import emergency_save
+        from awesome_tpu.fit.checkpoint import run_with_emergency
 
-            try:
-                d = emergency_save(
-                    os.path.join(self.output_folder, "checkpoints",
-                                 "emergency"),
-                    params=self.stacked_params, error=err,
-                    extra={"epoch": getattr(self.tracker, "epoch", None)},
-                )
-                logger.error("training failed (%r) — emergency state "
-                             "dumped to %s", err, d)
-            except Exception:
-                logger.exception("emergency save itself failed")
-            raise
+        return run_with_emergency(
+            self._train_impl,
+            os.path.join(self.output_folder, "checkpoints", "emergency"),
+            lambda: self.stacked_params,
+            lambda: {"epoch": getattr(self.tracker, "epoch", None)},
+        )
 
     def _train_impl(self) -> Dict[str, Any]:
         import math
@@ -1116,9 +1107,11 @@ class AwesomeRunner(Runner):
                 final_idx = list(range(len(self.samples)))
             elif not isinstance(final_idx, (list, tuple)):
                 final_idx = [final_idx]
-            self._dump_images(num_epochs, "final", final_idx)
+            # label with the TRUE epoch (matches the re-saved 'end' meta):
+            # in the complete-unaligned no-op resume path epoch > num_epochs
+            self._dump_images(epoch, "final", final_idx)
         else:
-            self._maybe_dump_images(epoch=num_epochs, force=True)
+            self._maybe_dump_images(epoch=epoch, force=True)
         for fn in self.handles["training_finished"]:
             fn(self)
         loss_hist = (
@@ -1141,55 +1134,33 @@ class AwesomeRunner(Runner):
         uninterrupted run (tests/test_resume.py): the NamedTuple state
         carries params, optimizer moments, plateau schedule and the
         absolute epoch counter, and the tracker (including its best-model
-        gate) is restored from the checkpoint metadata."""
-        from awesome_tpu.fit.checkpoint import (
-            find_resumable,
-            load_pytree,
-            load_tag_with_twin,
-        )
-        from awesome_tpu.fit.tracker import Tracker
+        gate) is restored from the checkpoint metadata. Thin adapter over
+        the shared `fit/checkpoint.py:restore_resumable` sequence."""
+        from awesome_tpu.fit.checkpoint import restore_resumable
+
+        def _check_alignment(ep, ex):
+            # a watchdog-stopped run needs no alignment: nothing more trains
+            if ep % seg_len and not ex.get("stopped_early"):
+                raise ValueError(
+                    f"resume checkpoint at epoch {ep} is not aligned to "
+                    f"the segment length {seg_len} — a cadence/num_epochs "
+                    "config change since the checkpoint was written is "
+                    "not resumable"
+                )
 
         base = os.path.join(self.output_folder, "checkpoints")
-        best = find_resumable(base, kind)
-        if best is None:
-            logger.info("resume requested but no resumable checkpoint "
-                        "under %s — starting fresh", base)
+        res = restore_resumable(
+            base, kind, template_state, num_epochs,
+            best_subpath="params", best_template=template_state.params,
+            validate=_check_alignment,
+        )
+        if res is None:
             return None
-        ep, d, meta = best
-        ex = meta.get("extra") or {}
-        if ep >= num_epochs:
-            # never relabel a later-epoch state with a smaller epoch: the
-            # loop simply has nothing left to run, and the re-saved 'end'
-            # keeps the TRUE epoch so later resumes stay truthful.
-            # Checked BEFORE alignment: a complete run resumed under a
-            # different cadence must no-op, not crash.
-            logger.info(
-                "resume checkpoint epoch %d >= num_epochs %d — nothing "
-                "left to train", ep, num_epochs,
-            )
-        elif ep % seg_len and not ex.get("stopped_early"):
-            # a watchdog-stopped run needs no alignment: nothing more trains
-            raise ValueError(
-                f"resume checkpoint at epoch {ep} is not aligned to the "
-                f"segment length {seg_len} — a cadence/num_epochs config "
-                "change since the checkpoint was written is not resumable"
-            )
-        restored = load_pytree(os.path.join(d, "train_state"),
-                               template=tuple(template_state))
-        state = type(template_state)(*restored)
-        if meta.get("tracker"):
-            self.tracker = Tracker.from_dict(meta["tracker"])
-        # 'best' or its .old crash twin (a preemption mid-best-save can
-        # leave only the twin — without it the restored best-model gate
-        # would block re-saving until a strictly better metric)
-        bp = load_tag_with_twin(base, "best", "params", state.params)
-        if bp is not None:
-            self.best_params = bp
-        else:
-            logger.info("no readable best checkpoint; best-model restarts")
-        logger.info("Resuming %s from %s at epoch %d",
-                    self.config.run_name, d, ep)
-        return state, ep, ex
+        if res["tracker"] is not None:
+            self.tracker = res["tracker"]
+        if res["best"] is not None:
+            self.best_params = res["best"]
+        return res["state"], res["epoch"], res["extra"]
 
     # --- saving / image dumps ---------------------------------------------
     def save_checkpoint(self, tag: str, state=None, epoch=None,

@@ -79,13 +79,12 @@ def _resolve_resume_folder(cfg) -> None:
 
 def _joint_state_kind(cfg) -> str:
     """The checkpoint kind this config's joint dispatch produces/consumes
-    — mirrors ``FBMSRunner.train_joint_from_config``'s label_mode
-    routing (multiple_objects -> the multi-object engine)."""
-    ds = (cfg.dataset_args or {}).get("dataset") or {}
-    lm = ds.get("label_mode")
-    if isinstance(lm, dict):
-        lm = lm.get("value")
-    return "multi" if lm == "multiple_objects" else "joint"
+    — delegates to the single source of truth next to the dispatch
+    itself (``FBMSRunner.joint_state_kind``) so the CLI pretrain-skip
+    predicate can never drift from the training routing."""
+    from awesome_tpu.runner.fbms_runner import FBMSRunner
+
+    return FBMSRunner.joint_state_kind(cfg)
 
 
 def _skip_pretrain_on_resume(cfg) -> bool:
