@@ -79,3 +79,93 @@ def synthetic_convexity_dataset(
     n: int = 8, h: int = 64, w: int = 64, occlude: bool = True, seed0: int = 0
 ) -> List[ConvexitySample]:
     return [make_sample(seed0 + i, h, w, occlude) for i in range(n)]
+
+
+def write_synthetic_fbms_sequence(
+    root: str,
+    name: str = "syn99",
+    n_frames: int = 5,
+    h: int = 24,
+    w: int = 32,
+    seed: int = 0,
+) -> str:
+    """Write a synthetic moving-disk sequence in the FBMS-59 on-disk
+    layout (frames + ``tracks/multicut/<seq>.dat`` trajectories +
+    ``GroundTruth/`` masks with a ``<Seq>Def.dat`` description) so the
+    FBMS pipeline can run end-to-end with zero egress — used by the
+    multichip dryrun and demos. Layout spec:
+    `awesome/dataset/fbms_sequence_dataset.py` + Ochs et al. tracks
+    format (`awesome_tpu/data/fbms.py:12`)."""
+    import os
+
+    from PIL import Image
+
+    seq = os.path.join(root, name)
+    os.makedirs(os.path.join(seq, "GroundTruth"), exist_ok=True)
+    os.makedirs(os.path.join(seq, "tracks", "multicut"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    def _center(f: int) -> Tuple[float, float]:
+        return 0.5 * h, 0.22 * w + (0.5 * w / max(n_frames - 1, 1)) * f
+
+    r = 0.22 * min(h, w)
+    trajs = []
+    for oid, n_traj in ((1, 12), (0, 20)):
+        for _ in range(n_traj):
+            pts = []
+            if oid == 1:
+                ang = rng.uniform(0, 2 * np.pi)
+                rad = rng.uniform(0, 0.8 * r)
+                for f in range(n_frames):
+                    cy, cx = _center(f)
+                    pts.append((cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang), f))
+            else:
+                # background points kept off the disk in every frame
+                while True:
+                    x0 = rng.uniform(0, w - 1)
+                    y0 = rng.uniform(0, h - 1)
+                    if all(
+                        (y0 - _center(f)[0]) ** 2
+                        + (x0 - _center(f)[1]) ** 2 > (r + 2) ** 2
+                        for f in range(n_frames)
+                    ):
+                        break
+                for f in range(n_frames):
+                    pts.append((x0, y0, f))
+            trajs.append((oid, pts))
+    with open(os.path.join(seq, "tracks", "multicut", f"{name}.dat"),
+              "w") as f:
+        f.write(f"{n_frames}\n{len(trajs)}\n")
+        for oid, pts in trajs:
+            f.write(f"{oid} {len(pts)}\n")
+            for x, y, fr in pts:
+                f.write(f"{x:.2f} {y:.2f} {fr}\n")
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n_frames):
+        cy, cx = _center(i)
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        img = np.zeros((h, w, 3), np.uint8) + 30
+        img[disk] = 200
+        Image.fromarray(img).save(os.path.join(seq, f"{name}_{i:02d}.png"))
+    labeled = (0, n_frames - 1)
+    for i in labeled:
+        cy, cx = _center(i)
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        gt = np.where(disk, 255, 0).astype(np.uint8)
+        Image.fromarray(gt).save(
+            os.path.join(seq, "GroundTruth", f"gt_{i:02d}.png")
+        )
+    with open(os.path.join(seq, "GroundTruth", f"{name}Def.dat"),
+              "w") as f:
+        f.write(
+            f"Sequence {name}\n\nTotal number of regions:\n2\n"
+            "Scale of region 0:\n100\nScale of region 1:\n50\n\n"
+            "Confusion penality matrix:\n0 1\n1 0\n\n"
+            f"Total number of frames in this shot:\n{n_frames}\n"
+            "Total number of labeled frames for this shot:\n"
+            f"{len(labeled)}\n"
+            + "".join(f"gt_{i:02d}.png\n{i}\n" for i in labeled)
+        )
+    return seq
