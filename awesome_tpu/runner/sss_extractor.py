@@ -23,6 +23,12 @@ orchestration layer that
   on the accelerator instead of scipy
   (`awesome_tpu.ops.spectral.spectral_soft_segments_device`; a valid
   variant rather than bit-faithful — see its docstring).
+  ``proxy="sss_fused"`` implements the SSS FUSION step itself: a
+  self-contained semantic affinity (`semantic_descriptor` features by
+  default, or any callable via ``semantic_feature_fn`` — e.g. a UNet
+  encoder) is fused with the matting Laplacian BEFORE the
+  eigendecomposition (L = L_matting + w L_sem), the pipeline shape of
+  Aksoy et al. 2018 §3 that the reference gets from its TF1 shell-out.
 """
 from __future__ import annotations
 
@@ -74,11 +80,155 @@ def matting_laplacian(image: np.ndarray, eps: float = 1e-7):
     return L.tocsr()
 
 
+def semantic_descriptor(
+    image: np.ndarray,
+    color_sigma: float = 4.0,
+    tex_scales=(1.0, 2.0),
+    pool: float = 2.5,
+    tex_gain: float = 10.0,
+) -> np.ndarray:
+    """Self-contained color-texture descriptor (H, W, 3 + len(tex_scales)).
+
+    Channels stay in RAW comparable units — no per-channel
+    standardization (which would blow a near-constant channel up into
+    full-range noise) and no per-pixel L2 norm:
+
+    - coarse color: Gaussian-smoothed RGB at ``color_sigma`` (already
+      in [0, 1]);
+    - texture energy per scale: gradient magnitude pooled over a
+      ``pool`` window, with the image-median subtracted as the noise
+      floor and saturated at a FIXED physical gradient scale
+      (``1/tex_gain`` intensity units/px) — so untextured regions sit
+      at 0 regardless of sensor noise and real texture saturates at 1.
+
+    This is the default stand-in for the TF1 deep semantic features in
+    the SSS fusion (`semantic_affinity_laplacian`); any richer feature
+    source (e.g. a UNet encoder) can replace it via the extractor's
+    ``semantic_feature_fn``."""
+    from scipy import ndimage
+
+    chans: List[np.ndarray] = [
+        ndimage.gaussian_filter(image[..., c], color_sigma)
+        for c in range(image.shape[-1])
+    ]
+    gray = image.mean(axis=-1)
+    for s in tex_scales:
+        gy = ndimage.gaussian_filter(gray, s, order=(1, 0))
+        gx = ndimage.gaussian_filter(gray, s, order=(0, 1))
+        e = np.sqrt(ndimage.gaussian_filter(gy * gy + gx * gx, pool))
+        e = np.maximum(e - np.median(e), 0.0)
+        chans.append(np.clip(e * tex_gain, 0.0, 1.0))
+    return np.stack(chans, axis=-1).astype(np.float64)
+
+
+def semantic_affinity_laplacian(
+    feats: np.ndarray,
+    offsets=((0, 1), (1, 0), (1, 1), (1, -1), (0, 4), (4, 0)),
+    sigma: Optional[float] = None,
+    sigma_scale: float = 1.0,
+    normalized: bool = False,
+):
+    """Graph Laplacian of a semantic affinity W over a local + dilated
+    pixel graph: ``w_ij = exp(-||f_i - f_j||^2 / (2 sigma^2))`` for each
+    neighbor offset (the dilated taps give the longer-range grouping the
+    SSS paper gets from superpixel-level semantic connections — Aksoy et
+    al. 2018 §3.2; the reference consumes that fusion via its TF1
+    shell-out, `awesome/run/semantic_soft_segmentation_extractor.py`).
+
+    ``sigma`` defaults to ``sigma_scale`` times the RMS pairwise feature
+    distance over all edges (scale-adaptive, deterministic;
+    ``sigma_scale`` < 1 sharpens within/between-region contrast — the
+    fusion uses 0.5). With ``normalized=True`` returns the symmetric
+    normalized (ncut) Laplacian ``D^-1/2 (D - W) D^-1/2`` (eigenvalues
+    O(1), balanced cuts); otherwise CSR ``L = D - W`` scaled by the mean
+    degree so its magnitude is comparable regardless of neighbor
+    count."""
+    from scipy import sparse
+
+    h, w = feats.shape[:2]
+    n = h * w
+    inds = np.arange(n).reshape(h, w)
+    rows, cols, d2s = [], [], []
+    for dy, dx in offsets:
+        ys = slice(max(dy, 0), h + min(dy, 0)) if dy else slice(None)
+        xs = slice(max(dx, 0), w + min(dx, 0)) if dx else slice(None)
+        ys2 = slice(max(-dy, 0), h + min(-dy, 0)) if dy else slice(None)
+        xs2 = slice(max(-dx, 0), w + min(-dx, 0)) if dx else slice(None)
+        i = inds[ys2, xs2].ravel()
+        j = inds[ys, xs].ravel()
+        d = feats[ys2, xs2].reshape(len(i), -1) - feats[ys, xs].reshape(
+            len(j), -1)
+        rows.append(i)
+        cols.append(j)
+        d2s.append((d * d).sum(axis=1))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    d2 = np.concatenate(d2s)
+    if sigma is None:
+        sigma = sigma_scale * float(np.sqrt(max(d2.mean(), 1e-12)))
+    wgt = np.exp(-d2 / (2.0 * sigma * sigma))
+    W = sparse.coo_matrix((wgt, (rows, cols)), shape=(n, n))
+    W = (W + W.T) * 0.5
+    deg = np.asarray(W.sum(axis=1)).ravel()
+    L = sparse.diags(deg) - W
+    if normalized:
+        dinv = sparse.diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
+        return (dinv @ L @ dinv).tocsr()
+    return (L / max(deg.mean(), 1e-12)).tocsr()
+
+
+def _otsu_threshold(v: np.ndarray, bins: int = 256) -> float:
+    """Otsu's between-class-variance threshold on values in [0, 1] —
+    deterministic, histogram-based."""
+    hist, edges = np.histogram(v, bins=bins, range=(0.0, 1.0))
+    p = hist.astype(np.float64) / max(hist.sum(), 1)
+    omega = np.cumsum(p)
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    mu = np.cumsum(p * mids)
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sb = (mu[-1] * omega - mu) ** 2 / np.where(
+            denom > 0, denom, np.inf)
+    return float(mids[int(np.nanargmax(sb))])
+
+
+def _otsu_separability(v: np.ndarray, bins: int = 256) -> float:
+    """Otsu between-class variance over total variance in [0, 1] — how
+    bimodal (cut-like) a normalized eigenvector is. Used to pick the
+    fused operator's output channels from an over-computed eigenbasis."""
+    hist, edges = np.histogram(v, bins=bins, range=(0.0, 1.0))
+    p = hist.astype(np.float64) / max(hist.sum(), 1)
+    omega = np.cumsum(p)
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    mu = np.cumsum(p * mids)
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sb = (mu[-1] * omega - mu) ** 2 / np.where(
+            denom > 0, denom, np.inf)
+    var = float((p * (mids - mu[-1]) ** 2).sum())
+    return float(np.nanmax(sb)) / max(var, 1e-12)
+
+
+def _otsu_calibrate(f: np.ndarray) -> np.ndarray:
+    """Piecewise-linearly remap a [0, 1] channel so its Otsu threshold
+    lands at 0.5. Eigenvectors of a FUSED operator are mixtures of the
+    matting and semantic terms' near-degenerate cut directions, so the
+    bimodal gap wanders away from mid-range; after this calibration a
+    plain 0.5 threshold recovers the spectral bipartition (the
+    lightweight analogue of the SSS paper's grouping stage)."""
+    t = _otsu_threshold(f.ravel())
+    lo = np.clip(f / max(2.0 * t, 1e-9), 0.0, 0.5) * (f <= t)
+    hi = (0.5 + 0.5 * (f - t) / max(1.0 - t, 1e-9)) * (f > t)
+    return lo + hi
+
+
 def spectral_soft_segments(
     image: np.ndarray,
     n_components: int = 2,
     max_side: int = 160,
     eps: float = 1e-7,
+    semantic_feature_fn=None,
+    semantic_weight: float = 0.0,
 ) -> np.ndarray:
     """Soft segments = smallest nontrivial matting-Laplacian eigenvectors.
 
@@ -89,7 +239,24 @@ def spectral_soft_segments(
     vector). Replacement for the reference's SSS embedmap+PCA front-end
     (`awesome/run/semantic_soft_segmentation_extractor.py:1-261`) when
     neither precomputed embedmaps nor the TF1 checkout are available.
-    """
+
+    SSS FUSION: with ``semantic_weight`` > 0, fuses a semantic affinity
+    into the operator BEFORE the eigendecomposition — the pipeline shape
+    of the SSS paper (Aksoy et al. 2018 §3: L = L_matting + w L_sem):
+    ``semantic_feature_fn(small_image) -> (h, w, C)`` features (default
+    `semantic_descriptor`) build an ncut-normalized
+    `semantic_affinity_laplacian`; the matting term is rescaled by its
+    mean diagonal so ``semantic_weight`` is a scale-free mixing ratio
+    (default 10 — the semantic term must out-weigh texture modes that
+    are near-null in the matting operator). Fused output channels are
+    Otsu-calibrated (`_otsu_calibrate`) so 0.5 separates the spectral
+    bipartition, and are SELECTED: the fused operator computes 6 extra
+    eigenvectors and keeps the ``n_components`` most bimodal ones
+    (highest Otsu between-class separability) — cut-like vectors beat
+    the smooth domain harmonics that share the low end of the fused
+    spectrum (the lightweight analogue of the SSS paper computing ~100
+    eigenvectors and grouping). ``semantic_weight=0`` is bit-identical
+    to the pure matting path."""
     from scipy import ndimage
     from scipy.sparse.linalg import eigsh
 
@@ -102,15 +269,44 @@ def spectral_soft_segments(
         small = image
     sh, sw = small.shape[:2]
     L = matting_laplacian(small.astype(np.float64), eps=eps)
-    k = n_components + 1
+    fused = semantic_weight > 0.0
+    if fused:
+        fn = semantic_feature_fn or semantic_descriptor
+        feats = np.asarray(fn(small), dtype=np.float64)
+        if feats.shape[:2] != (sh, sw):
+            raise ValueError(
+                f"semantic_feature_fn returned {feats.shape[:2]}, "
+                f"expected {(sh, sw)}"
+            )
+        L_sem = semantic_affinity_laplacian(
+            feats, sigma_scale=0.5, normalized=True)
+        L = (L / max(L.diagonal().mean(), 1e-12)
+             + semantic_weight * L_sem).tocsr()
+    # fused mode over-computes eigenvectors and keeps the most bimodal
+    # ones: cut-like vectors sit interleaved with smooth harmonics in
+    # the fused spectrum (see docstring)
+    k = n_components + (7 if fused else 1)
     v0 = np.full(L.shape[0], 1.0 / np.sqrt(L.shape[0]))
     # shift-invert around 0: smallest eigenpairs of the PSD Laplacian
     vecs = eigsh(L, k=k, sigma=0, which="LM", v0=v0)[1]
+    chan = list(range(1, k))
+    if fused:
+        norm = []
+        for i in chan:
+            f = vecs[:, i]
+            lo, hi = float(f.min()), float(f.max())
+            norm.append((f - lo) / max(hi - lo, 1e-12))
+        sep = [_otsu_separability(f) for f in norm]
+        # top-n by separability; stable spectral order in the output
+        chan = sorted(sorted(chan, key=lambda i: -sep[i - 1])
+                      [:n_components])
     feats = []
-    for i in range(1, k):
+    for i in chan:
         f = vecs[:, i].reshape(sh, sw)
         lo, hi = float(f.min()), float(f.max())
         f = (f - lo) / max(hi - lo, 1e-12)
+        if fused:
+            f = _otsu_calibrate(f)
         if scale < 1.0:
             f = ndimage.zoom(f, (h / sh, w / sw), order=1)[:h, :w]
             # zoom can come up a pixel short on strongly rational ratios
@@ -128,11 +324,19 @@ class SemanticSoftSegmentationExtractor:
         command_template: Optional[str] = None,
         n_components: int = 2,
         proxy: str = "spectral",
+        semantic_feature_fn=None,
+        semantic_weight: float = 10.0,
     ):
         self.feature_dir = feature_dir
         self.command_template = command_template
         self.n_components = n_components
         self.proxy = proxy
+        # the fused proxy's swappable semantic feature source:
+        # None -> `semantic_descriptor` (multiscale color-texture); a
+        # callable (h, w, 3) -> (h, w, C) — e.g. a UNet encoder apply —
+        # plays the role of the reference's TF1 feature net
+        self.semantic_feature_fn = semantic_feature_fn
+        self.semantic_weight = semantic_weight
 
     @classmethod
     def from_config(cls, config, feature_dir: str,
@@ -161,11 +365,13 @@ class SemanticSoftSegmentationExtractor:
                 f" --model-checkpoint-dir {ckpt}"
                 f" --image {{name}} --output-dir {feature_dir}"
             )
-        proxy = getattr(config, "dataset_args", None) or {}
-        proxy = proxy.get("sss_proxy", "spectral") if isinstance(
-            proxy, dict) else "spectral"
+        da = getattr(config, "dataset_args", None) or {}
+        da = da if isinstance(da, dict) else {}
         return cls(feature_dir, command_template=tmpl,
-                   n_components=n_components, proxy=proxy)
+                   n_components=n_components,
+                   proxy=da.get("sss_proxy", "spectral"),
+                   semantic_weight=float(
+                       da.get("sss_semantic_weight", 10.0)))
 
     def extract(self, image: np.ndarray, name: str) -> np.ndarray:
         """(H, W, 3) float [0,1] -> (H, W, n_components) features."""
@@ -210,10 +416,15 @@ class SemanticSoftSegmentationExtractor:
                 logging.getLogger(__name__).warning(
                     "device spectral soft segments failed (%r); "
                     "falling back to the host spectral path", e)
-        if self.proxy in ("spectral", "spectral_device") and (
+        if self.proxy in ("spectral", "spectral_device", "sss_fused") and (
                 min(image.shape[:2]) >= 3):
+            fused = self.proxy == "sss_fused"
             try:
-                return spectral_soft_segments(image, self.n_components)
+                return spectral_soft_segments(
+                    image, self.n_components,
+                    semantic_feature_fn=self.semantic_feature_fn,
+                    semantic_weight=self.semantic_weight if fused else 0.0,
+                )
             except Exception as e:  # singular Laplacian corner cases
                 import logging
 

@@ -227,3 +227,112 @@ def test_device_eigensolve_rejects_tiny_images():
     with pytest.raises(ValueError, match="too small"):
         spectral_soft_segments_device(
             np.random.default_rng(0).random((5, 5, 3)).astype(np.float32))
+
+
+def _texture_ambiguous_image(h=72, w=96, seed=0):
+    """Two regions with the SAME mean color, separated only by texture —
+    the case the color-only matting Laplacian cannot resolve and the
+    semantic fusion exists for (Aksoy et al. 2018 §3)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), 0.5, np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    blob = ((yy - h // 2) ** 2 / 500 + (xx - w // 2) ** 2 / 1100) < 1.0
+    # fg: high-frequency checkerboard around the same mean
+    checker = (((yy // 2) + (xx // 2)) % 2).astype(np.float32) - 0.5
+    img[..., :] += (checker * 0.35 * blob)[..., None]
+    img += rng.normal(0, 0.015, img.shape).astype(np.float32)
+    return np.clip(img, 0, 1), blob
+
+
+def _best_iou(f, blob):
+    best = 0.0
+    for c in range(f.shape[-1]):
+        m = f[..., c] > 0.5
+        if m[blob].mean() < 0.5:
+            m = ~m
+        denom = (m | blob).sum()
+        if denom:
+            best = max(best, (m & blob).sum() / denom)
+    return best
+
+
+def test_semantic_affinity_laplacian_properties():
+    from awesome_tpu.runner.sss_extractor import (
+        semantic_affinity_laplacian,
+        semantic_descriptor,
+    )
+
+    img, _ = _texture_ambiguous_image(24, 24)
+    feats = semantic_descriptor(img)
+    assert feats.shape[:2] == (24, 24)
+    L = semantic_affinity_laplacian(feats)
+    n = L.shape[0]
+    assert L.shape == (24 * 24, 24 * 24)
+    # graph Laplacian: nullspace contains constants, symmetric, PSD
+    assert np.abs(L @ np.ones(n)).max() < 1e-10
+    assert abs(L - L.T).max() < 1e-12
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        v = rng.normal(size=n)
+        assert v @ (L @ v) >= -1e-9
+
+
+def test_sss_fusion_zero_weight_is_pure_spectral():
+    from awesome_tpu.runner.sss_extractor import spectral_soft_segments
+
+    img, _ = _two_region_image(48, 64)
+    a = spectral_soft_segments(img, 2)
+    b = spectral_soft_segments(img, 2, semantic_weight=0.0)
+    assert np.array_equal(a, b)
+
+
+def test_sss_fusion_resolves_texture_ambiguity():
+    """A/B: on a color-ambiguous, texture-separated scene the FUSED
+    operator recovers the region; the matting-only eigenvectors cannot
+    (this is exactly the failure mode the reference's TF1 semantic
+    affinity exists to fix)."""
+    from awesome_tpu.runner.sss_extractor import spectral_soft_segments
+
+    img, blob = _texture_ambiguous_image()
+    fused = spectral_soft_segments(img, 2, semantic_weight=10.0)
+    assert fused.shape == (72, 96, 2) and fused.dtype == np.float32
+    # deterministic
+    assert np.array_equal(
+        fused, spectral_soft_segments(img, 2, semantic_weight=10.0)
+    )
+    iou_fused = _best_iou(fused, blob)
+    pure = spectral_soft_segments(img, 2)
+    iou_pure = _best_iou(pure, blob)
+    assert iou_fused > 0.85, (iou_fused, iou_pure)
+    assert iou_fused > iou_pure + 0.1, (iou_fused, iou_pure)
+
+
+def test_sss_fused_proxy_and_custom_feature_fn():
+    from awesome_tpu.runner.sss_extractor import (
+        SemanticSoftSegmentationExtractor,
+    )
+
+    img, blob = _texture_ambiguous_image()
+    ex = SemanticSoftSegmentationExtractor(
+        feature_dir="/nonexistent", proxy="sss_fused")
+    f = ex.extract(img, "tex")
+    assert f.shape == (72, 96, 2)
+    assert _best_iou(f, blob) > 0.85
+
+    # swappable semantic source: an oracle feature fn drives the fusion
+    calls = []
+
+    def oracle(small):
+        h, w = small.shape[:2]
+        yy, xx = np.mgrid[0:h, 0:w]
+        m = (((yy - h / 2) ** 2 / (0.097 * h * h)
+              + (xx - w / 2) ** 2 / (0.115 * w * w)) < 1.0)
+        calls.append(small.shape)
+        return np.stack([m, ~m], axis=-1).astype(np.float64)
+
+    ex2 = SemanticSoftSegmentationExtractor(
+        feature_dir="/nonexistent", proxy="sss_fused",
+        semantic_feature_fn=oracle, semantic_weight=10.0)
+    f2 = ex2.extract(img, "tex")
+    assert calls, "custom semantic_feature_fn was not consulted"
+    assert _best_iou(f2, blob) > 0.9
