@@ -30,6 +30,17 @@ logger = logging.getLogger(__name__)
 
 def _try_orbax():
     try:
+        import jax
+
+        if jax.process_count() > 1:
+            # Orbax synchronizes every save/restore across ALL
+            # jax.distributed processes (incrementing barrier ids). The
+            # DCN fan-out runs INDEPENDENT jobs per process
+            # (scripts/run_sharded.py --coordinator), so workers save
+            # different checkpoint sequences -> mismatched barriers ->
+            # deadlock (observed: both workers asleep forever). Per-run
+            # checkpoints are process-local by design; use the .npz path.
+            return None
         import orbax.checkpoint as ocp
 
         return ocp

@@ -185,8 +185,40 @@ def main():
     manifest = run_worker(args)
     print(json.dumps({k: manifest[k] for k in ("shard_id", "jobs",
                                                "failures")}))
-    if not args.no_aggregate and args.shard_id == 0 and args.num_shards == 1:
+    if args.coordinator:
+        # shards finish at different times; without an explicit barrier
+        # the early finisher's interpreter-exit shutdown barrier times
+        # out waiting for the slow one (observed: DEADLINE_EXCEEDED at
+        # Shutdown:: with 1/2 tasks). Sync BEFORE exiting, with a
+        # sweep-scale timeout, then let process 0 aggregate the now
+        # guaranteed-complete shard manifests.
+        _workers_done_barrier()
+        import jax
+
+        if not args.no_aggregate and jax.process_index() == 0:
+            print("wrote", aggregate(args.runs_path))
+    elif (not args.no_aggregate and args.shard_id == 0
+          and args.num_shards == 1):
         print("wrote", aggregate(args.runs_path))
+
+
+def _workers_done_barrier(timeout_hours: float = 12.0) -> None:
+    """Block until every jax.distributed process has finished its shard.
+
+    Uses the coordination-service barrier (the same machinery the
+    interpreter-exit shutdown barrier rides), falling back to
+    ``sync_global_devices`` if the client handle moves."""
+    try:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            "awesome_shard_workers_done",
+            timeout_in_ms=int(timeout_hours * 3600 * 1000),
+        )
+    except AttributeError:  # client API moved: device-level sync
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("awesome_shard_workers_done")
 
 
 if __name__ == "__main__":
