@@ -27,22 +27,97 @@ def _shape_mask(rng, h: int, w: int) -> np.ndarray:
     return (yr / ry) ** 2 + (xr / rx) ** 2 <= 1.0
 
 
+def _distractor_mask(rng, h: int, w: int, obj: np.ndarray) -> np.ndarray:
+    """A smaller convex blob disjoint from (and not touching) the object —
+    a color-ambiguous distractor for the hard benchmark."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    from scipy import ndimage
+
+    keepout = ndimage.binary_dilation(obj, iterations=3)
+    for _ in range(30):
+        cy = rng.uniform(0.1 * h, 0.9 * h)
+        cx = rng.uniform(0.1 * w, 0.9 * w)
+        ry = rng.uniform(0.05 * h, 0.11 * h)
+        rx = rng.uniform(0.05 * w, 0.11 * w)
+        m = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        if not (m & keepout).any() and m.any():
+            return m
+    return np.zeros((h, w), bool)
+
+
 def make_sample(
     seed: int,
     h: int = 64,
     w: int = 64,
     occlude: bool = True,
+    hard: float = 0.0,
 ) -> ConvexitySample:
     """One synthetic scene: a colored convex object on textured background,
     optionally with an occluding stripe (the 'tomato behind leaves' case —
-    the prior should recover the full object)."""
+    the prior should recover the full object).
+
+    ``hard`` in [0, 1] controls the DISCRIMINATIVE benchmark axes
+    (VERDICT r4: the hard=0 scenes saturate — every model family scores
+    identically because color alone separates fg/bg). Hardness adds:
+
+    - **textured background**: an oriented sinusoidal texture plus a
+      smooth color gradient instead of uniform noise;
+    - **color-ambiguous distractors**: up to 3 convex blobs OFF the
+      object whose color approaches the object's — a pointwise color
+      rule misclassifies them, only capacity in (y, x) or local context
+      separates;
+    - **fg/bg color overlap**: the object color is pulled toward the
+      background palette;
+    - **noisy scribbles**: a fraction of the weak labels is flipped
+      (like real SSS-derived weak labels), so late epochs can overfit
+      label noise and best-epoch != last-epoch;
+    - **wider occluder**: more of the object only recoverable by the
+      prior.
+    """
     rng = np.random.default_rng(seed)
+    hard = float(np.clip(hard, 0.0, 1.0))
     obj = _shape_mask(rng, h, w)
-    image = rng.uniform(0.0, 0.35, size=(h, w, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    if hard > 0:
+        # smooth two-color gradient + oriented sinusoidal texture
+        g_theta = rng.uniform(0, np.pi)
+        t = ((yy * np.cos(g_theta) + xx * np.sin(g_theta))
+             / max(h, w)).astype(np.float32)
+        c0 = rng.uniform(0.1, 0.5, size=(3,)).astype(np.float32)
+        c1 = rng.uniform(0.1, 0.5, size=(3,)).astype(np.float32)
+        image = c0 * (1 - t[..., None]) + c1 * t[..., None]
+        freq = rng.uniform(4.0, 9.0)
+        t_theta = rng.uniform(0, np.pi)
+        wave = np.sin(
+            2 * np.pi * freq
+            * (yy * np.cos(t_theta) + xx * np.sin(t_theta)) / min(h, w)
+            + rng.uniform(0, 2 * np.pi)
+        ).astype(np.float32)
+        tex_col = rng.uniform(-1, 1, size=(3,)).astype(np.float32)
+        image = image + 0.20 * hard * wave[..., None] * tex_col
+        image += rng.normal(0, 0.02, size=(h, w, 3)).astype(np.float32)
+    else:
+        image = rng.uniform(0.0, 0.35, size=(h, w, 3)).astype(np.float32)
+
     color = rng.uniform(0.6, 1.0, size=(3,)).astype(np.float32)
-    image[obj] = color + rng.normal(0, 0.03, size=(int(obj.sum()), 3)).astype(
-        np.float32
-    )
+    if hard > 0:
+        # pull the object color toward the background palette
+        bg_mean = image[~obj].mean(axis=0)
+        color = (1 - 0.45 * hard) * color + 0.45 * hard * bg_mean
+    image[obj] = color + rng.normal(
+        0, 0.03, size=(int(obj.sum()), 3)
+    ).astype(np.float32)
+
+    distractors = np.zeros((h, w), bool)
+    for _ in range(int(round(3 * hard))):
+        m = _distractor_mask(rng, h, w, obj)
+        # distractor color converges to the object's as hard -> 1
+        d_col = color + rng.normal(0, 0.25 * (1.05 - hard), size=(3,))
+        image[m] = d_col.astype(np.float32) + rng.normal(
+            0, 0.03, size=(int(m.sum()), 3)
+        ).astype(np.float32)
+        distractors |= m
     image = np.clip(image, 0.0, 1.0)
 
     visible = obj.copy()
@@ -50,35 +125,67 @@ def make_sample(
         # occluder: a rotated stripe of bounded width so a guaranteed
         # majority of the object stays visible (a full random shape could
         # swallow it entirely and leave no fg scribbles)
-        yy, xx = np.mgrid[0:h, 0:w]
         theta = rng.uniform(0, np.pi)
         d = (yy - h / 2) * np.cos(theta) + (xx - w / 2) * np.sin(theta)
         offset = rng.uniform(-0.15, 0.15) * min(h, w)
-        # thin occluder (~leaf over tomato): hides 10-20% of the object so
-        # the full-GT IoU cap stays realistic
-        stripe = (np.abs(d - offset) < 0.04 * min(h, w)) & obj
+        # thin occluder (~leaf over tomato): hides 10-20% of the object
+        # so the full-GT IoU cap stays realistic; hardness widens it
+        stripe = (np.abs(d - offset)
+                  < (0.04 + 0.03 * hard) * min(h, w)) & obj
         image[stripe] = rng.uniform(0.0, 0.25, size=(3,)).astype(np.float32)
         visible = obj & ~stripe
 
     gt = 1.0 - obj.astype(np.float32)  # fg = 0 convention
 
     # scribbles: random subsets of visible fg and of bg, with a floor so
-    # every sample carries both classes
-    fg_scr = visible & (rng.random((h, w)) < 0.25)
+    # every sample carries both classes; hardness sparsifies fg labels
+    fg_scr = visible & (rng.random((h, w)) < 0.25 * (1 - 0.5 * hard))
     bg_scr = (~obj) & (rng.random((h, w)) < 0.1)
     if fg_scr.sum() < 8:
         idx = np.argwhere(visible)
         take = idx[rng.permutation(len(idx))[: max(8, len(idx) // 4)]]
         fg_scr[take[:, 0], take[:, 1]] = True
+    if hard > 0:
+        # weak-label noise (real SSS-derived scribbles are noisy): flip
+        # a slice of each class's scribbles to the other class. The
+        # bg->fg flip COUNT is tied to the fg class size (bg is several
+        # times larger) so the wrong fraction of each resulting class
+        # stays ~8% regardless of how much of the object is visible
+        flip_fg = fg_scr & (rng.random((h, w)) < 0.08 * hard)
+        bg_idx = np.argwhere(bg_scr)
+        n_flip = int(round(0.08 * hard * int(fg_scr.sum())))
+        flip_bg = np.zeros((h, w), bool)
+        if n_flip and len(bg_idx):
+            take = bg_idx[rng.permutation(len(bg_idx))[:n_flip]]
+            flip_bg[take[:, 0], take[:, 1]] = True
+        fg_scr = (fg_scr & ~flip_fg) | flip_bg
+        bg_scr = (bg_scr & ~flip_bg) | flip_fg
     return ConvexitySample(
         image=image, gt=gt, fg_mask=fg_scr, bg_mask=bg_scr, index=seed
     )
 
 
 def synthetic_convexity_dataset(
-    n: int = 8, h: int = 64, w: int = 64, occlude: bool = True, seed0: int = 0
+    n: int = 8,
+    h: int = 64,
+    w: int = 64,
+    occlude: bool = True,
+    seed0: int = 0,
+    hard: float = 0.0,
+    hard_spread: bool = False,
 ) -> List[ConvexitySample]:
-    return [make_sample(seed0 + i, h, w, occlude) for i in range(n)]
+    """``hard_spread=True`` ramps per-image difficulty 0..``hard`` across
+    the dataset (the per-image difficulty spread the reference benchmark
+    has naturally — `notebooks/evaluation.ipynb` cell 13's 0.79-0.91
+    range)."""
+    if hard_spread and n > 1:
+        levels = [hard * i / (n - 1) for i in range(n)]
+    else:
+        levels = [hard] * n
+    return [
+        make_sample(seed0 + i, h, w, occlude, hard=levels[i])
+        for i in range(n)
+    ]
 
 
 def write_synthetic_fbms_sequence(

@@ -161,6 +161,8 @@ class AwesomeRunner(Runner):
             n=int(min(n, 16)),
             h=args.get("h", 64),
             w=args.get("w", 64),
+            hard=float(args.get("hard", 0.0)),
+            hard_spread=bool(args.get("hard_spread", False)),
         )
 
     def build_dataset(self):

@@ -86,6 +86,63 @@ def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.logical_and(a, b).sum() / max(union, 1))
 
 
+def _axis_period(mask: np.ndarray, axis: int) -> int:
+    """Dominant lattice period of a periodic binary mask along ``axis``
+    (pixels): first significant autocorrelation peak of the mean profile.
+    Falls back to 1/8 of the axis length when no peak stands out (then
+    the phase search degenerates to a small local search)."""
+    prof = np.asarray(mask, np.float64).mean(axis=1 - axis)
+    prof = prof - prof.mean()
+    n = len(prof)
+    ac = np.correlate(prof, prof, "full")[n - 1:]
+    if ac[0] <= 0:
+        return max(n // 8, 1)
+    for lag in range(2, n - 1):
+        if (ac[lag] > ac[lag - 1] and ac[lag] >= ac[lag + 1]
+                and ac[lag] > 0.2 * ac[0]):
+            return lag
+    return max(n // 8, 1)
+
+
+def _shifted_iou(mask: np.ndarray, ref: np.ndarray, dy: int, dx: int
+                 ) -> float:
+    """IoU of ``mask`` translated by (dy, dx) against ``ref``, scored on
+    the overlapping window only (no wraparound)."""
+    h, w = mask.shape
+    ys = slice(max(dy, 0), h + min(dy, 0))
+    xs = slice(max(dx, 0), w + min(dx, 0))
+    ys2 = slice(max(-dy, 0), h + min(-dy, 0))
+    xs2 = slice(max(-dx, 0), w + min(-dx, 0))
+    return mask_iou(mask[ys2, xs2], ref[ys, xs])
+
+
+def phase_aligned_iou(mask: np.ndarray, ref: np.ndarray,
+                      period_mask: Optional[np.ndarray] = None
+                      ) -> Tuple[float, Tuple[int, int]]:
+    """Best IoU over integer translations of ``mask`` within ONE lattice
+    period of ``ref`` — the diagnostic that separates "right lattice,
+    wrong phase" from "wrong shape" for periodic-prior fits: the
+    sin-feature PeriodicNet objective (`repeating/repeating.ipynb`) is
+    invariant to which lattice cell the phase locks onto, so a raw-IoU
+    deficit that VANISHES under the best one-period translation is
+    protocol-intrinsic, not a fit error. Period estimated per axis from
+    ``period_mask`` (default ``ref``) via profile autocorrelation.
+
+    Returns ``(best_iou, (dy, dx))`` of the maximizing translation
+    (``(0, 0)`` reproduces plain ``mask_iou`` up to the crop-window
+    scoring)."""
+    src = ref if period_mask is None else period_mask
+    py = _axis_period(src, 0)
+    px = _axis_period(src, 1)
+    best, arg = -1.0, (0, 0)
+    for dy in range(-(py // 2), py // 2 + 1):
+        for dx in range(-(px // 2), px // 2 + 1):
+            v = _shifted_iou(mask, ref, dy, dx)
+            if v > best:
+                best, arg = v, (dy, dx)
+    return best, arg
+
+
 def centered_points(h: int, w: int):
     """(H*W, 2) row-major (row/H - 0.5, col/W - 0.5) — the notebooks'
     ``extractInformationFromLikelihood`` coordinate convention (nonzero
@@ -471,9 +528,17 @@ def run_repeating(steps_scale: float = 1.0, down_scale: float = 2,
     mask = logits > -5.0  # holes class (shipped mask white = holes)
     ref = load_mask(os.path.join(TEASER_DIR, "repeating", "original",
                                  "mask.png"))
+    # phase diagnostic: the PeriodicNet loss is invariant to which
+    # lattice cell the sin features lock onto, so also score at the
+    # best translation within one lattice period — if THIS is high
+    # while raw IoU is low, the deficit is protocol-intrinsic phase,
+    # not shape (VERDICT r4 weak #3)
+    pa_iou, (pa_dy, pa_dx) = phase_aligned_iou(mask, ref)
     return TeaserResult("repeating", mask_iou(mask, ref), mask, ref,
                         {"loss": float(aux["loss_hist"][-1]),
-                         "naive_iou": mask_iou(naive, ref)})
+                         "naive_iou": mask_iou(naive, ref),
+                         "phase_aligned_iou": pa_iou,
+                         "phase_shift_yx": f"{pa_dy},{pa_dx}"})
 
 
 def run_convex_depth(steps_scale: float = 1.0, down_scale: float = 2,
@@ -693,7 +758,14 @@ def run_howto_path_connectedness(steps_scale: float = 1.0,
     mask = prob < 0.5  # cat fg (fg encoded 0)
     ref = load_mask(os.path.join(TEASER_DIR, "connectedness", "original",
                                  "pc_prior_mask_rescale.png"), (h, w))
-    extra = {"loss": float(aux["loss_hist"][-1])}
+    # DIRECTIONAL anchor, not like-for-like: the how-to notebook ships
+    # no result of its own (0 embedded outputs, no mask file), so the
+    # nearest shipped mask is the connectedness teaser's pc-prior mask —
+    # same image, same constraint, but not this notebook's own protocol.
+    # Parity accounting must not rank this row with the 8 like-for-like
+    # anchors (VERDICT r4 weak #5).
+    extra = {"loss": float(aux["loss_hist"][-1]),
+             "anchor": "directional"}
     if return_fit:
         # for callers that continue with the fitted prior (e.g. the
         # how-to example's deformation-inverse demo) — NOT serialized by

@@ -38,6 +38,10 @@ def main():
                    help="replica sequence length (longer sequences probe "
                         "the cliff shape: 30%% of a long sequence is a "
                         "smaller contiguous fraction of the tube)")
+    p.add_argument("--extra-seeds", type=int, nargs="*", default=[],
+                   help="additional seeds per noise level beyond the "
+                        "family's own 3 (each level's first YAML is "
+                        "replayed with the seed overridden)")
     args = p.parse_args()
 
     from build_all_configs import write_sequence
@@ -55,11 +59,28 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         seq = write_sequence(tmp, n_frames=args.n_frames, h=48, w=64,
                              n_fg=60, n_bg=140)
-        for i, y in enumerate(yamls):
+        jobs = [(y, None) for y in yamls]
+        if args.extra_seeds:
+            # one replay per (level, extra seed): the level's first YAML
+            # with the seed overridden
+            seen_levels = set()
+            for y in yamls:
+                lvl = os.path.basename(y)
+                # noise level is the trailing npX_Y token of the name
+                lvl_key = lvl.split("np")[-1]
+                if lvl_key in seen_levels:
+                    continue
+                seen_levels.add(lvl_key)
+                for s in args.extra_seeds:
+                    jobs.append((y, s))
+        for i, (y, seed_override) in enumerate(jobs):
             name = os.path.splitext(os.path.basename(y))[0]
             cfg, extra = load_reference_config(y)
             assert not extra, extra
             cfg.runs_path = args.out
+            if seed_override is not None:
+                cfg.seed = seed_override
+                name = f"{name}+xseed{seed_override}"
             cfg.name_experiment = name
             if args.epochs:
                 # pretrain-only configs budget the fit via pretrain_args
@@ -73,7 +94,7 @@ def main():
             metrics = runner.evaluate()
             out_dir = runner.save_results(metrics)
             results.append(NoisyUnariesResultModel.from_path(out_dir))
-            print(f"[{i + 1}/{len(yamls)}] {name}: frame-noise "
+            print(f"[{i + 1}/{len(jobs)}] {name}: frame-noise "
                   f"{runner.config.frame_noise_percentage} IoU "
                   f"{metrics['MeanForegroundBinaryMIOU']:.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
@@ -87,20 +108,30 @@ def main():
     mean_curve = {
         lvl: sum(vs) / len(vs) for lvl, vs in sorted(by_level.items())
     }
+    std_curve = {
+        lvl: (sum((v - mean_curve[lvl]) ** 2 for v in vs)
+              / max(len(vs) - 1, 1)) ** 0.5
+        for lvl, vs in sorted(by_level.items())
+    }
     table = cmp.table(metric_names=["MeanForegroundBinaryMIOU"])
     with open(os.path.join(args.out, "noise_curve.md"), "w") as f:
-        f.write("# Noise robustness curve (noisy-spatio-temporal family)\n\n")
+        f.write("# Noise robustness curve (noisy-spatio-temporal family)"
+                f"\n\nReplica sequence length: {args.n_frames} frames.\n\n")
         f.write("Reference published anchor (cars3, real data): "
                 "0%:0.826 10%:0.799 20%:0.796 30%:0.527 50%:0.186\n\n")
-        f.write("| flip | mean IoU (3 seeds) |\n|---|---|\n")
+        f.write("| flip | mean IoU | std | seeds |\n|---|---|---|---|\n")
         for lvl, v in mean_curve.items():
-            f.write(f"| {lvl:.1f} | {v:.3f} |\n")
+            f.write(f"| {lvl:.1f} | {v:.3f} | {std_curve[lvl]:.3f} "
+                    f"| {len(by_level[lvl])} |\n")
         f.write("\n\n")
         f.write(table.to_markdown(index=False))
         f.write("\n")
     with open(os.path.join(args.out, "noise_curve.json"), "w") as f:
-        json.dump({"mean_curve": {str(k): v for k, v in
+        json.dump({"n_frames": args.n_frames,
+                   "mean_curve": {str(k): v for k, v in
                                   mean_curve.items()},
+                   "std_curve": {str(k): v for k, v in
+                                 std_curve.items()},
                    "points": curve}, f, indent=2)
     print("curve:", {round(k, 2): round(v, 3) for k, v in
                      mean_curve.items()})

@@ -34,8 +34,26 @@ def main():
     p.add_argument("--hw", type=int, default=64)
     p.add_argument("--epochs", type=int, default=800)
     p.add_argument("--out", default="runs/paper_table")
+    p.add_argument("--hard", type=float, default=1.0,
+                   help="benchmark hardness in [0,1] (data/synthetic.py: "
+                        "textured bg, color-ambiguous distractors, noisy "
+                        "scribbles) — 0 reproduces the saturated r3 "
+                        "benchmark where every model family ties")
+    p.add_argument("--hard-spread", action="store_true", default=True,
+                   help="ramp per-image difficulty 0..hard across the "
+                        "dataset (per-image difficulty spread)")
+    p.add_argument("--no-hard-spread", dest="hard_spread",
+                   action="store_false")
+    p.add_argument("--sabotage", default=None,
+                   help="deliberately break this model family's cells "
+                        "(lr x 1e-4) to demonstrate the floors catch a "
+                        "regression — the run must FAIL")
     p.add_argument("--floor", type=float, default=0.5,
                    help="per-cell segmentation MIOU floor")
+    p.add_argument("--cell-floors", default=None,
+                   help="JSON file of per-cell {name: {seg, prior}} "
+                        "floors (overrides --floor; see "
+                        "runs/paper_table/cell_floors.json)")
     p.add_argument("--prior-floor", type=float, default=0.5,
                    help="prior-output MIOU floor (prior cells)")
     p.add_argument("--prior-floor-feat", type=float, default=0.2,
@@ -48,10 +66,13 @@ def main():
                    default=["net", "fcnet", "cnnnet"])
     p.add_argument("--xytypes", nargs="*", default=["xy", "feat", "featxy"])
     p.add_argument("--sss-proxy", default="spectral",
-                   choices=["spectral", "spectral_device", "pyramid"],
+                   choices=["spectral", "spectral_device", "pyramid",
+                            "sss_fused"],
                    help="SSS feature proxy for the 'feat'/'featxy' cells "
                         "(runner/sss_extractor.py; 'spectral_device' = "
-                        "accelerator eigensolve, ops/spectral.py)")
+                        "accelerator eigensolve, ops/spectral.py; "
+                        "'sss_fused' = semantic-affinity fusion before "
+                        "the eigendecomposition)")
     args = p.parse_args()
 
     from awesome_tpu.analytics.result_model import (
@@ -77,7 +98,8 @@ def main():
     for m, xyt, use_prior in cells:
         name = f"{m}+{xyt}+{'prior' if use_prior else 'noprior'}"
         dataset_args = {"n": args.n, "h": args.hw, "w": args.hw,
-                        "xytype": xyt}
+                        "xytype": xyt, "hard": args.hard,
+                        "hard_spread": args.hard_spread}
         if xyt in ("feat", "featxy") and args.sss_proxy != "spectral":
             dataset_args["sss_proxy"] = args.sss_proxy
         # reference FCNET/CNNET benchmark widths
@@ -97,7 +119,8 @@ def main():
             prior_model_args={"n_hidden": 64, "n_hidden_layers": 1},
             use_prior_model=use_prior,
             optimizer_type="adam",
-            optimizer_args={"lr": 0.02 if m != "cnnnet" else 1e-3},
+            optimizer_args={"lr": (0.02 if m != "cnnnet" else 1e-3)
+                            * (1e-4 if m == args.sabotage else 1.0)},
             num_epochs=args.epochs,
             use_extra_penalty_hook=(m != "cnnnet"),
             extra_penalty_after_n_epochs=max(args.epochs - 200, 50),
@@ -139,24 +162,48 @@ def main():
             f.write("\n\n")
     for r in results:
         m = r.metrics("eval", selection="best", maximize=True)
-        floors_report[r.name] = {
+        # strip the timestamp prefix -> stable cell name
+        cell = r.name.split("_", 2)[-1]
+        floors_report[cell] = {
             "seg": m.get("MeanForegroundBinaryMIOU"),
             "prior": m.get("PriorMeanForegroundBinaryMIOU"),
         }
     with open(os.path.join(args.out, "floors.json"), "w") as f:
         json.dump({"cells": floors_report, "failures": failures}, f,
                   indent=2)
+    # suggested per-cell floors for the NEXT pin: measured minus margin
+    with open(os.path.join(args.out, "cell_floors_suggested.json"),
+              "w") as f:
+        json.dump({
+            c: {k: (None if v is None else round(max(v - 0.06, 0.0), 3))
+                for k, v in vv.items()}
+            for c, vv in floors_report.items()
+        }, f, indent=2)
     print("wrote", table_path)
+
+    cell_floors = None
+    if args.cell_floors:
+        with open(args.cell_floors) as f:
+            cell_floors = json.load(f)
 
     bad = []
     for n, v in floors_report.items():
+        if cell_floors is not None:
+            cf = cell_floors.get(n) or {}
+            sf, pf = cf.get("seg"), cf.get("prior")
+            if sf is not None and (v["seg"] is None or v["seg"] < sf):
+                bad.append((n, "seg", v["seg"], f"floor {sf}"))
+            if (pf is not None and "+prior" in n
+                    and (v["prior"] is None or v["prior"] < pf)):
+                bad.append((n, "prior", v["prior"], f"floor {pf}"))
+            continue
         if v["seg"] is None or v["seg"] < args.floor:
-            bad.append((n, "seg", v["seg"]))
+            bad.append((n, "seg", v["seg"], f"floor {args.floor}"))
         if "+prior" in n:
             pf = (args.prior_floor_feat if "+feat+" in n
                   else args.prior_floor)
             if v["prior"] is None or v["prior"] < pf:
-                bad.append((n, "prior", v["prior"]))
+                bad.append((n, "prior", v["prior"], f"floor {pf}"))
     if failures or bad:
         raise SystemExit(f"paper-table regression: failures={failures} "
                          f"below-floor={bad}")

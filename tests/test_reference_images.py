@@ -52,6 +52,37 @@ def test_repeating_vs_shipped_mask():
     _run("repeating", 0.15, steps_scale=0.15, n_restarts=4)
 
 
+def test_phase_aligned_iou_separates_phase_from_shape():
+    """The repeating-teaser phase diagnostic: a lattice translated by a
+    half period scores near-0 raw IoU but ~1.0 phase-aligned; a WRONG
+    shape stays low under both."""
+    import numpy as np
+
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    period = 16
+
+    def lattice(dy, dx):
+        return (((yy + dy) % period) < 6) & (((xx + dx) % period) < 6)
+
+    ref = lattice(0, 0)
+    shifted = lattice(8, 8)  # same lattice, half-period phase
+    raw = T.mask_iou(shifted, ref)
+    pa, (dy, dx) = T.phase_aligned_iou(shifted, ref)
+    assert raw < 0.05
+    assert pa > 0.95
+    assert (abs(dy) % period, abs(dx) % period) == (8, 8)
+    # period estimation found the lattice pitch
+    assert T._axis_period(ref, 0) == period
+    # a genuinely wrong shape is NOT rescued by phase alignment
+    blob = (yy - h / 2) ** 2 + (xx - w / 2) ** 2 < (h / 3) ** 2
+    pa_blob, _ = T.phase_aligned_iou(blob, ref)
+    assert pa_blob < 0.4
+    # identity: zero shift reproduces plain IoU
+    same, shift0 = T.phase_aligned_iou(ref, ref)
+    assert same == 1.0 and shift0 == (0, 0)
+
+
 def test_convex_depth_vs_shipped_mask():
     r = _run("convex_depth", 0.9, steps_scale=0.05)
     # convexity is the point: the shipped naive (no-convexity) mask only

@@ -145,6 +145,8 @@ def test_randomized_kills_bit_identical(tmp_path, mode, num_epochs):
     # final launch: must complete from whatever the kills left behind
     _run_to_completion(mode, workdir, num_epochs)
 
+    print(f"\n[kill-campaign] mode={mode}: {kills} SIGKILLs "
+          f"(window {t_train:.1f}s, {TRIES} tries)", flush=True)
     ref = _leaves_with_paths(_final_state(str(tmp_path / "ref"), mode))
     got = _leaves_with_paths(_final_state(workdir, mode))
     assert [p for p, _ in ref] == [p for p, _ in got]
