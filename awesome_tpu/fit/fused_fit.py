@@ -107,11 +107,17 @@ def make_grouped_fused_fit_fn(
     group: int,
     interpret: Optional[bool] = None,
     tile_n: Optional[int] = None,
+    interleave: bool = False,
 ) -> Callable:
     """Grouped fused fit: ``fit(stacked_params, points, stacked_targets,
     active=True) -> (stacked_params, aux)`` where the leading axis has
     length ``group`` and ALL images share one kernel program per step —
     amortizing the fixed per-program cost that bounds small tiles.
+
+    ``interleave=True`` uses the alternating-chain rematerializing kernel
+    (`ops/pallas_flagship.py:_kernel_interleaved`): the group members'
+    independent matmul chains pipeline on the MXU and the full tile fits
+    per member — the full-resolution PAIRED-fit throughput path.
 
     Semantics deviation vs the per-image engines: the plateau scheduler
     and NaN guard act on the MEAN loss of the group (one LR for the
@@ -121,7 +127,8 @@ def make_grouped_fused_fit_fn(
         raise ValueError("model not supported by the fused flagship kernel")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    kwargs = {"interpret": interpret, "group": group}
+    kwargs = {"interpret": interpret, "group": group,
+              "interleave": interleave}
     if tile_n is not None:
         kwargs["tile_n"] = tile_n
     if cfg.compute_dtype is not None:

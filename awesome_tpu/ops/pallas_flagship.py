@@ -41,6 +41,42 @@ from jax.experimental import pallas as pl
 
 TILE_N = 2048
 
+# Mosaic's scoped-VMEM stack limit is 16 MiB; the dominant per-point cost
+# is the forward saves that live across the kernel (measured: the default
+# width-130/6-flow flagship allocates 17.53 MiB at tile 2048 — OOM — and
+# the bench 32/12 config 12.7 MiB — fits). Keep headroom for the
+# double-buffered data stream + transients.
+_VMEM_BUDGET_BYTES = 14 << 20
+
+
+def auto_tile_n(model, group: int = 1, interleave: bool = False,
+                cap: int = TILE_N) -> int:
+    """Largest power-of-two tile (<= ``cap``) whose per-point VMEM save
+    footprint fits Mosaic's scoped stack.
+
+    Per point and image, ``_kernel`` keeps (f32 columns): the flow's
+    post-relu ``h`` (2*hidden per flow), 2 ``z`` saves + the 4-row ``st``
+    per flow, the ICNN ``pre_acts`` ((n_layers+1) * icnn_w), plus ~2
+    icnn-width backward transients (dh / hx concat) and ~32 misc columns
+    (x, z, xd, target, weights, logits, grad chains).
+    ``_kernel_interleaved`` rematerializes ``h`` (and the ICNN acts), so
+    its per-image cost drops the 2*hidden*n_flows term but multiplies
+    everything by ``group`` and adds one transient ``h`` buffer."""
+    flow = model.flow_net
+    hidden, n_flows = flow.hidden_units, flow.n_flows
+    icnn_w = model.convex_net.n_hidden
+    n_layers = model.convex_net.n_hidden_layers
+    icnn_cols = (n_layers + 1) * icnn_w + 2 * icnn_w + 32
+    if interleave:
+        cols = group * (8 * n_flows + icnn_cols) + 2 * hidden
+    else:
+        cols = group * (n_flows * (2 * hidden + 8) + icnn_cols)
+    tile = cap
+    while tile > 128 and cols * 4 * tile > _VMEM_BUDGET_BYTES:
+        tile //= 2
+    return tile
+
+
 Params = Any
 
 # packed buffer names, in kernel argument order (after the 3 data inputs
@@ -420,9 +456,243 @@ def _kernel(n_flows: int, n_layers: int, hidden: int, use_tanh: bool,
         A("bt", jnp.sum(dx1, axis=1, keepdims=True))
 
 
+def _kernel_interleaved(n_flows: int, n_layers: int, hidden: int,
+                        use_tanh: bool, use_sigmoid: bool, use_bf16: bool,
+                        group: int,
+                        x_ref, tgt_ref, wpt_ref,
+                        pre_a_ref, pre_b_ref, post_a_ref, post_b_ref,
+                        *refs):
+    """Interleaved + rematerializing variant of ``_kernel`` for group > 1.
+
+    Same math, different schedule and VMEM budget:
+
+    - **Interleaved emission**: each op site loops over the group, so the
+      G images' (independent) matmul chains alternate in program order.
+      Mosaic does NOT reorder across the sequential per-image loop of
+      ``_kernel`` (measured: group=2 at tile 1024 runs 0.68x of solo at
+      tile 2048 — worse than linear), but it DOES pipeline explicitly
+      alternating independent chains (micro: duo 0.63 vs solo 1.23
+      us/matmul at these widths). The flagship step is dependency-stall
+      bound (1.9x its zero-stall pass bound, docs/design.md round-4), so
+      alternation attacks exactly the measured gap.
+    - **Rematerialization** pays for the VMEM to keep the FULL tile for
+      every group member: the flow's post-relu ``h`` (the big save:
+      (2*hidden, T) x n_flows = 6 MB/image at T=2048) is recomputed in
+      the bwd from the saved coupling inputs (+1 matmul per coupling,
+      +~10%% passes), and the ICNN's post-relu ``acts`` are recomputed
+      from the saved ``pre_acts`` (a free VPU relu). ``z``/``st``/
+      ``pre_acts`` saves are small and stay.
+
+    Net: ~4 MB/image of saves, so TWO images fit at T=2048 where
+    ``_kernel`` needs T=1024 — and the alternating chains hide each
+    other's MXU latency instead of paying the half-tile tax that made
+    plain grouping a wash (0.97x) in the micro.
+    """
+    n_p = len(PACKED_FIELDS)
+    w = {name: refs[k] for k, name in enumerate(PACKED_FIELDS)}
+    loss_ref = refs[n_p]
+    d = {name: refs[n_p + 1 + k] for k, name in enumerate(PACKED_FIELDS)}
+    first = pl.program_id(0) == 0
+    not_first = jnp.logical_not(first)
+
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a.astype(cdt), b.astype(cdt),
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.DEFAULT)
+
+    def W(g, name, i=None):
+        ref = w[name]
+        return ref[g] if i is None else ref[g, i]
+
+    def A(g, name, val, i=None):
+        ref = d[name]
+        idx = (g,) if i is None else (g, i)
+
+        @pl.when(first)
+        def _w():
+            ref[idx] = val
+
+        @pl.when(not_first)
+        def _a():
+            ref[idx] = ref[idx] + val
+
+    G = range(group)
+    x = x_ref[...]  # (2, T) shared across the group
+    pre_a = pre_a_ref[...]
+    pre_b = pre_b_ref[...]
+    post_a = post_a_ref[...]
+
+    # ---- forward: translate + norm ----
+    z = [x * W(g, "wt") + W(g, "bt") for g in G]
+    z = [zi * pre_a + pre_b for zi in z]
+
+    # ---- forward: flow (saving z and st only; h is rematerialized) ----
+    z_saved = [[] for _ in G]
+    st_saved = [[] for _ in G]
+    for i in range(n_flows):
+        b = _mask_col(i)
+        zm = [None] * group
+        h = [None] * group
+        st = [None] * group
+        for g in G:
+            z_saved[g].append(z[g])
+            zm[g] = z[g] * b
+        for g in G:
+            h[g] = jnp.maximum(mm(W(g, "w1", i), zm[g]) + W(g, "b1", i),
+                               0.0)
+        for g in G:
+            st[g] = mm(W(g, "w2", i), h[g]) + W(g, "b2", i)
+            if use_tanh:
+                st[g] = jnp.tanh(st[g])
+            st_saved[g].append(st[g])
+        for g in G:
+            s, t = st[g][:2], st[g][2:]
+            z[g] = zm[g] + (1.0 - b) * (z[g] * jnp.exp(s) + t)
+            z_saved[g].append(z[g])  # pre-ActNorm value
+            z[g] = z[g] * jnp.exp(W(g, "an_s", i)) + W(g, "an_t", i)
+
+    # ---- forward: inverse norm + ICNN (saving pre_acts only) ----
+    xd = [z[g] * post_a + post_b_ref[...] for g in G]
+    pre_acts = [[] for _ in G]
+    h = [None] * group
+    for g in G:
+        ph = mm(W(g, "win"), xd[g]) + W(g, "bin")
+        pre_acts[g].append(ph)
+        h[g] = jnp.maximum(ph, 0.0)
+    icnn_w = w["win"].shape[1]
+    for i in range(n_layers):
+        for g in G:
+            wcat = jnp.concatenate([W(g, "wln", i), W(g, "wsk", i)], axis=1)
+            hx = jnp.concatenate([h[g], xd[g]], axis=0)
+            zl = mm(wcat, hx) + W(g, "bln", i)
+            pre_acts[g].append(zl)
+            h[g] = jnp.maximum(zl, 0.0)
+    y = [None] * group
+    for g in G:
+        wcat_out = jnp.concatenate([W(g, "wout"), W(g, "wosk")], axis=1)
+        hx_last = jnp.concatenate([h[g], xd[g]], axis=0)
+        y[g] = mm(wcat_out, hx_last) + W(g, "bout")  # (1, T)
+
+    # ---- loss + dL/dy ----
+    gy = [None] * group
+    for g in G:
+        tgt = tgt_ref[g]
+        wpt = wpt_ref[g]
+        if use_sigmoid:
+            p = jax.nn.sigmoid(y[g])
+            e = p - tgt
+            loss_val = jnp.sum(wpt * e * e)
+            gy[g] = wpt * 2.0 * e * p * (1.0 - p)
+        else:
+            e = y[g] - tgt
+            loss_val = jnp.sum(wpt * e * e)
+            gy[g] = wpt * 2.0 * e
+        idx = (g,)
+
+        @pl.when(first)
+        def _w(loss_val=loss_val, idx=idx):
+            loss_ref[idx] = loss_val.reshape(1)
+
+        @pl.when(not_first)
+        def _a(loss_val=loss_val, idx=idx):
+            loss_ref[idx] = loss_ref[idx] + loss_val.reshape(1)
+
+    # ---- backward: ICNN (acts recomputed from saved pre_acts) ----
+    dh = [None] * group
+    dxd = [None] * group
+    for g in G:
+        hx_last = jnp.concatenate(
+            [jnp.maximum(pre_acts[g][n_layers], 0.0), xd[g]], axis=0)
+        g_out = mm(gy[g], hx_last.T)  # (1, icnn_w + 2)
+        A(g, "wout", g_out[:, :icnn_w])
+        A(g, "bout", jnp.sum(gy[g], axis=1, keepdims=True))
+        A(g, "wosk", g_out[:, icnn_w:])
+        wcat_out = jnp.concatenate([W(g, "wout"), W(g, "wosk")], axis=1)
+        d_hx = mm(wcat_out.T, gy[g])
+        dh[g] = d_hx[:icnn_w]
+        dxd[g] = d_hx[icnn_w:]
+    for i in reversed(range(n_layers)):
+        for g in G:
+            dz = dh[g] * (pre_acts[g][i + 1] > 0.0)
+            hx_i = jnp.concatenate(
+                [jnp.maximum(pre_acts[g][i], 0.0), xd[g]], axis=0)
+            g_cat = mm(dz, hx_i.T)
+            A(g, "wln", g_cat[:, :icnn_w], i)
+            A(g, "bln", jnp.sum(dz, axis=1, keepdims=True), i)
+            A(g, "wsk", g_cat[:, icnn_w:], i)
+            wcat_i = jnp.concatenate([W(g, "wln", i), W(g, "wsk", i)],
+                                     axis=1)
+            d_hx = mm(wcat_i.T, dz)
+            dh[g] = d_hx[:icnn_w]
+            dxd[g] = dxd[g] + d_hx[icnn_w:]
+    gz = [None] * group
+    for g in G:
+        dz0 = dh[g] * (pre_acts[g][0] > 0.0)
+        A(g, "win", mm(dz0, xd[g].T))
+        A(g, "bin", jnp.sum(dz0, axis=1, keepdims=True))
+        dxd[g] = dxd[g] + mm(W(g, "win").T, dz0)
+        gz[g] = dxd[g] * post_a
+
+    # ---- backward: flow (h rematerialized from the saved z) ----
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 0)
+    c4 = jax.lax.broadcasted_iota(jnp.int32, (4, 2 * hidden), 1)
+    w2_mask = (
+        ((r4 < 2) & (c4 < hidden)) | ((r4 >= 2) & (c4 >= hidden))
+    ).astype(f32)
+    for i in reversed(range(n_flows)):
+        b = _mask_col(i)
+        inv_b = 1.0 - b
+        zm = [None] * group
+        h = [None] * group
+        d_st = [None] * group
+        for g in G:
+            z_pre_an = z_saved[g][2 * i + 1]
+            es_an = jnp.exp(W(g, "an_s", i))
+            A(g, "an_s",
+              jnp.sum(gz[g] * z_pre_an * es_an, axis=1, keepdims=True), i)
+            A(g, "an_t", jnp.sum(gz[g], axis=1, keepdims=True), i)
+            gz[g] = gz[g] * es_an
+            zm[g] = z_saved[g][2 * i] * b
+        for g in G:  # REMAT: recompute post-relu h (+1 matmul/coupling)
+            h[g] = jnp.maximum(mm(W(g, "w1", i), zm[g]) + W(g, "b1", i),
+                               0.0)
+        for g in G:
+            z_in = z_saved[g][2 * i]
+            st = st_saved[g][i]
+            es = jnp.exp(st[:2])
+            ds = inv_b * gz[g] * z_in * es
+            dt = inv_b * gz[g]
+            dsdt = jnp.concatenate([ds, dt], axis=0)
+            if use_tanh:
+                dsdt = dsdt * (1.0 - st * st)
+            d_st[g] = dsdt
+        dh_all = [None] * group
+        for g in G:
+            A(g, "w2", mm(d_st[g], h[g].T) * w2_mask, i)
+            A(g, "b2", jnp.sum(d_st[g], axis=1, keepdims=True), i)
+            dh_all[g] = mm(W(g, "w2", i).T, d_st[g]) * (h[g] > 0.0)
+        for g in G:
+            A(g, "w1", mm(dh_all[g], zm[g].T), i)
+            A(g, "b1", jnp.sum(dh_all[g], axis=1, keepdims=True), i)
+            dzm = mm(W(g, "w1", i).T, dh_all[g])
+            st = st_saved[g][i]
+            es = jnp.exp(st[:2])
+            gz[g] = b * gz[g] + inv_b * gz[g] * es + b * dzm
+
+    # ---- backward: norm pre-affine + translation ----
+    for g in G:
+        dx1 = gz[g] * pre_a
+        A(g, "wt", jnp.sum(dx1 * x, axis=1, keepdims=True))
+        A(g, "bt", jnp.sum(dx1, axis=1, keepdims=True))
+
+
 def make_flagship_loss_grad(model, use_sigmoid: bool = True,
-                            tile_n: int = TILE_N, interpret: bool = False,
-                            use_bf16: bool = False, group: int = 1):
+                            tile_n: Any = None, interpret: bool = False,
+                            use_bf16: bool = False, group: int = 1,
+                            interleave: bool = False):
     """Build ``f(packed, x, target, point_weights) -> (loss, packed_grads)``
     — the fused value_and_grad of the flagship objective.
 
@@ -433,9 +703,22 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
     packed leaves carry a leading group axis, target/point_weights are
     (G, N, 1), points stay shared; returns per-image losses (G,) and
     grouped grads. Amortizes the fixed per-program cost.
+    ``tile_n=None`` auto-sizes the tile to Mosaic's scoped-VMEM stack
+    (:func:`auto_tile_n`) — wide models (e.g. the width-130 flow of the
+    default factory config) need tile 1024 where the bench 32/12 config
+    runs the full 2048.
+    ``interleave`` (group > 1 only): emit the group members' independent
+    op chains ALTERNATING per site with flow-``h``/ICNN-``acts``
+    rematerialized (``_kernel_interleaved``) — pipelines the chains on
+    the MXU instead of running them back-to-back, and the remat frees
+    the VMEM to keep the full tile per member.
     """
     if not flagship_supported(model):
         raise ValueError("model not in the fused flagship family")
+    if interleave and group < 2:
+        raise ValueError("interleave requires group >= 2")
+    if tile_n is None:
+        tile_n = auto_tile_n(model, group=group, interleave=interleave)
     flow = model.flow_net
     n_flows = flow.n_flows
     hidden = flow.hidden_units
@@ -444,7 +727,8 @@ def make_flagship_loss_grad(model, use_sigmoid: bool = True,
     pre_a, pre_b, post_a, post_b = _norm_constants(model)
 
     kern = functools.partial(
-        _kernel, n_flows, n_layers, hidden, use_tanh, use_sigmoid, use_bf16,
+        _kernel_interleaved if interleave else _kernel,
+        n_flows, n_layers, hidden, use_tanh, use_sigmoid, use_bf16,
         group,
     )
 

@@ -88,6 +88,112 @@ def test_fused_loss_and_grad_match_xla(tile):
         )
 
 
+@pytest.mark.parametrize("group", [2, 4])
+def test_interleaved_grouped_matches_xla(group):
+    """The alternating-chain rematerializing kernel (interleave=True) is
+    bit-for-bit the same MATH as the XLA path, per group member —
+    distinct params/targets per member so any cross-image mixing fails."""
+    model = _model()
+    pts, target0 = _data()
+    cfg = FitConfig()
+
+    params_list, tgts, wgts = [], [], []
+    for g in range(group):
+        p = model.init(jax.random.PRNGKey(10 + g))
+        p = jax.tree_util.tree_map(
+            lambda v, g=g: v + 0.05 * jax.random.normal(
+                jax.random.PRNGKey((hash(v.shape) + 7 * g) % 1000), v.shape
+            ),
+            p,
+        )
+        params_list.append(p)
+        t = jnp.roll(target0, g * 3, axis=0)
+        tgts.append(t)
+        wgts.append(make_point_weights(t, cfg))
+
+    fused = make_flagship_loss_grad(model, tile_n=64, interpret=True,
+                                    group=group, interleave=True)
+    packed = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[pack_flagship(model, p) for p in params_list],
+    )
+    losses, grads_packed = fused(packed, pts, jnp.stack(tgts),
+                                 jnp.stack(wgts))
+
+    for g in range(group):
+        def xla_loss(p, g=g):
+            prob = jax.nn.sigmoid(model.apply(p, pts))
+            return jnp.sum(wgts[g] * (prob - tgts[g]) ** 2)
+
+        ref_loss, ref_grads = jax.value_and_grad(xla_loss)(params_list[g])
+        np.testing.assert_allclose(float(losses[g]), float(ref_loss),
+                                   rtol=2e-5)
+        grads_tree = unpack_flagship(
+            model, jax.tree_util.tree_map(lambda x: x[g], grads_packed)
+        )
+        ref_flat, _ = jax.tree_util.tree_flatten(ref_grads)
+        got_flat, _ = jax.tree_util.tree_flatten(grads_tree)
+        for a, b in zip(got_flat, ref_flat):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+            )
+
+
+def test_interleave_requires_group():
+    model = _model()
+    with pytest.raises(ValueError):
+        make_flagship_loss_grad(model, interleave=True)
+
+
+def test_auto_tile_fits_vmem_budget():
+    """tile_n=None sizes the tile to Mosaic's 16 MiB scoped-VMEM stack.
+
+    Anchors are measured: the width-130/6-flow factory default OOMs at
+    tile 2048 (17.53 MiB scoped alloc), the bench 32/12 config and the
+    measured interleaved duo (group=2, tile 2048) compile; the measured
+    group=4 interleave config needed tile 1024."""
+    from awesome_tpu.nn.path_connected import (
+        real_nvp_path_connected_net as factory,
+    )
+    from awesome_tpu.ops.pallas_flagship import auto_tile_n
+
+    wide = factory(channels=2, flow_output_fn="tanh")  # hidden 130, 6 flows
+    bench = factory(channels=2, hidden_units=32, flow_n_flows=12,
+                    flow_output_fn="tanh", convex_net_hidden_units=130,
+                    convex_net_hidden_layers=2)
+    assert auto_tile_n(wide) == 1024
+    assert auto_tile_n(bench) == 2048
+    assert auto_tile_n(bench, group=2, interleave=True) == 2048
+    assert auto_tile_n(bench, group=4, interleave=True) == 1024
+    # grouping WITHOUT remat must shrink faster than with it
+    assert auto_tile_n(bench, group=2) <= auto_tile_n(
+        bench, group=2, interleave=True
+    )
+
+
+def test_auto_tile_wide_model_runs_interpret():
+    """The width-130 default config actually runs end-to-end with the
+    auto tile (regression: tile 2048 was a hard TPU VMEM OOM)."""
+    model = real_nvp_path_connected_net(
+        channels=2, flow_output_fn="tanh", spatial_shape=(16, 16),
+    )
+    pts, target = _data()
+    cfg = FitConfig()
+    params = model.init(jax.random.PRNGKey(0))
+    fused = make_flagship_loss_grad(model, interpret=True)  # tile_n auto
+    packed = pack_flagship(model, params)
+    w = make_point_weights(target, cfg)
+    loss, grads = fused(packed, pts, target, w)
+    assert np.isfinite(float(loss))
+
+    def xla_loss(p):
+        prob = jax.nn.sigmoid(model.apply(p, pts))
+        return jnp.sum(w * (prob - target) ** 2)
+
+    ref_loss = float(xla_loss(params))
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-5)
+
+
 def test_fused_handles_point_weight_padding():
     """Padded tail points (weight 0) must not contribute."""
     model = _model()
