@@ -19,6 +19,13 @@ so this is a standing regression, not just a report.
 Defaults are sized for a quick chip run (~12 images, 64x64, 800 epochs);
 --n 51 --hw 96 --epochs 3000 reproduces the full-scale protocol of
 PARITY.md round-3.
+
+Standing chip invocation (hard benchmark + pinned per-cell floors):
+    python scripts/run_paper_table.py \
+        --cell-floors runs/paper_table/cell_floors.json
+Regression demo (must FAIL: broken CNNNet under its floors, Net above):
+    python scripts/run_paper_table.py --sabotage cnnnet \
+        --cell-floors runs/paper_table/cell_floors.json
 """
 import argparse
 import json
