@@ -188,6 +188,60 @@ def synthetic_convexity_dataset(
     ]
 
 
+def write_fbms_layout(
+    root: str,
+    name: str,
+    n_frames: int,
+    trajs: List[Tuple[int, List[Tuple[float, float, int]]]],
+    frames: List[np.ndarray],
+    gt_masks: dict,
+) -> str:
+    """Serialize a synthetic sequence in the FBMS-59 on-disk layout.
+
+    The ONE format writer every synthetic-sequence generator delegates to
+    (tests/test_fbms.py, scripts/build_all_configs.py and
+    ``write_synthetic_fbms_sequence`` supply different geometry but must
+    stay in sync with the ``awesome_tpu/data/fbms.py`` parser through this
+    single serializer). ``trajs`` is ``[(object_id, [(x, y, frame), ...])]``
+    in the Ochs et al. multicut ``.dat`` format; ``frames`` is a list of
+    ``(H, W, 3)`` uint8 images; ``gt_masks`` maps frame index -> ``(H, W)``
+    uint8 mask (255 = object). Layout spec:
+    `awesome/dataset/fbms_sequence_dataset.py`."""
+    import os
+
+    from PIL import Image
+
+    seq = os.path.join(str(root), name)
+    os.makedirs(os.path.join(seq, "GroundTruth"), exist_ok=True)
+    os.makedirs(os.path.join(seq, "tracks", "multicut"), exist_ok=True)
+    with open(os.path.join(seq, "tracks", "multicut", f"{name}.dat"),
+              "w") as f:
+        f.write(f"{n_frames}\n{len(trajs)}\n")
+        for oid, pts in trajs:
+            f.write(f"{oid} {len(pts)}\n")
+            for x, y, fr in pts:
+                f.write(f"{x:.2f} {y:.2f} {fr}\n")
+    for i, img in enumerate(frames):
+        Image.fromarray(np.asarray(img, np.uint8)).save(
+            os.path.join(seq, f"{name}_{i:02d}.png"))
+    labeled = sorted(gt_masks)
+    for i in labeled:
+        Image.fromarray(np.asarray(gt_masks[i], np.uint8)).save(
+            os.path.join(seq, "GroundTruth", f"gt_{i:02d}.png"))
+    with open(os.path.join(seq, "GroundTruth", f"{name}Def.dat"),
+              "w") as f:
+        f.write(
+            f"Sequence {name}\n\nTotal number of regions:\n2\n"
+            "Scale of region 0:\n100\nScale of region 1:\n50\n\n"
+            "Confusion penality matrix:\n0 1\n1 0\n\n"
+            f"Total number of frames in this shot:\n{n_frames}\n"
+            "Total number of labeled frames for this shot:\n"
+            f"{len(labeled)}\n"
+            + "".join(f"gt_{i:02d}.png\n{i}\n" for i in labeled)
+        )
+    return seq
+
+
 def write_synthetic_fbms_sequence(
     root: str,
     name: str = "syn99",
@@ -200,16 +254,10 @@ def write_synthetic_fbms_sequence(
     layout (frames + ``tracks/multicut/<seq>.dat`` trajectories +
     ``GroundTruth/`` masks with a ``<Seq>Def.dat`` description) so the
     FBMS pipeline can run end-to-end with zero egress — used by the
-    multichip dryrun and demos. Layout spec:
+    multichip dryrun and demos. Geometry only — serialization is
+    ``write_fbms_layout``. Layout spec:
     `awesome/dataset/fbms_sequence_dataset.py` + Ochs et al. tracks
     format (`awesome_tpu/data/fbms.py:12`)."""
-    import os
-
-    from PIL import Image
-
-    seq = os.path.join(root, name)
-    os.makedirs(os.path.join(seq, "GroundTruth"), exist_ok=True)
-    os.makedirs(os.path.join(seq, "tracks", "multicut"), exist_ok=True)
     rng = np.random.default_rng(seed)
 
     def _center(f: int) -> Tuple[float, float]:
@@ -241,38 +289,20 @@ def write_synthetic_fbms_sequence(
                 for f in range(n_frames):
                     pts.append((x0, y0, f))
             trajs.append((oid, pts))
-    with open(os.path.join(seq, "tracks", "multicut", f"{name}.dat"),
-              "w") as f:
-        f.write(f"{n_frames}\n{len(trajs)}\n")
-        for oid, pts in trajs:
-            f.write(f"{oid} {len(pts)}\n")
-            for x, y, fr in pts:
-                f.write(f"{x:.2f} {y:.2f} {fr}\n")
 
     yy, xx = np.mgrid[0:h, 0:w]
+
+    def _disk(i: int) -> np.ndarray:
+        cy, cx = _center(i)
+        return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+    frames = []
     for i in range(n_frames):
-        cy, cx = _center(i)
-        disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
         img = np.zeros((h, w, 3), np.uint8) + 30
-        img[disk] = 200
-        Image.fromarray(img).save(os.path.join(seq, f"{name}_{i:02d}.png"))
-    labeled = (0, n_frames - 1)
-    for i in labeled:
-        cy, cx = _center(i)
-        disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-        gt = np.where(disk, 255, 0).astype(np.uint8)
-        Image.fromarray(gt).save(
-            os.path.join(seq, "GroundTruth", f"gt_{i:02d}.png")
-        )
-    with open(os.path.join(seq, "GroundTruth", f"{name}Def.dat"),
-              "w") as f:
-        f.write(
-            f"Sequence {name}\n\nTotal number of regions:\n2\n"
-            "Scale of region 0:\n100\nScale of region 1:\n50\n\n"
-            "Confusion penality matrix:\n0 1\n1 0\n\n"
-            f"Total number of frames in this shot:\n{n_frames}\n"
-            "Total number of labeled frames for this shot:\n"
-            f"{len(labeled)}\n"
-            + "".join(f"gt_{i:02d}.png\n{i}\n" for i in labeled)
-        )
-    return seq
+        img[_disk(i)] = 200
+        frames.append(img)
+    gt_masks = {
+        i: np.where(_disk(i), 255, 0).astype(np.uint8)
+        for i in (0, n_frames - 1)
+    }
+    return write_fbms_layout(root, name, n_frames, trajs, frames, gt_masks)

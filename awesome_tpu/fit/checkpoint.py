@@ -68,10 +68,30 @@ def save_pytree(tree: Any, path: str) -> None:
         pickle.dump(treedef, f)
 
 
+_warned_unreadable: set = set()
+
+
 def pytree_exists(path: str) -> bool:
-    """True iff ``save_pytree(path)`` artifacts exist (Orbax directory or
-    the .npz fallback)."""
-    return os.path.isdir(path) or os.path.exists(path + ".npz")
+    """True iff ``save_pytree(path)`` artifacts exist AND are readable by
+    ``load_pytree`` in THIS process configuration.
+
+    An Orbax directory only counts when Orbax is usable here: under
+    multi-process runs ``_try_orbax`` is disabled (barrier deadlock on
+    independent job streams — see its comment), so a single-process
+    Orbax checkpoint resumed under the DCN fan-out must register as
+    absent (fresh start + warning) rather than crash ``load_pytree``."""
+    if os.path.exists(path + ".npz"):
+        return True
+    if os.path.isdir(path):
+        if _try_orbax() is not None:
+            return True
+        if path not in _warned_unreadable:
+            _warned_unreadable.add(path)
+            logger.warning(
+                "checkpoint %s is an Orbax directory but Orbax is "
+                "unavailable in this process (multi-process run or "
+                "missing dependency); treating it as absent", path)
+    return False
 
 
 def _path_names(path) -> tuple:
@@ -122,6 +142,12 @@ def load_pytree(path: str, template: Optional[Any] = None) -> Any:
         if template is not None:
             return restructure_like(template, restored)
         return restored
+    if os.path.isdir(path) and not os.path.exists(path + ".npz"):
+        raise RuntimeError(
+            f"checkpoint {path} is an Orbax directory but Orbax is "
+            f"unavailable in this process (multi-process run or missing "
+            f"dependency); re-save it with save_pytree here or resume "
+            f"single-process")
     data = np.load(path + ".npz")
     leaves = [jnp.asarray(data[k]) for k in data.files]
     if template is not None:

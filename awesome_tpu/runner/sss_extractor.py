@@ -177,9 +177,13 @@ def semantic_affinity_laplacian(
     return (L / max(deg.mean(), 1e-12)).tocsr()
 
 
-def _otsu_threshold(v: np.ndarray, bins: int = 256) -> float:
-    """Otsu's between-class-variance threshold on values in [0, 1] —
-    deterministic, histogram-based."""
+def _otsu_stats(v: np.ndarray, bins: int = 256) -> tuple:
+    """One histogram pass -> (Otsu threshold, between-class separability).
+
+    Threshold: argmax of between-class variance on values in [0, 1].
+    Separability: that variance over total variance — how bimodal
+    (cut-like) a normalized eigenvector is; used to pick the fused
+    operator's output channels from an over-computed eigenbasis."""
     hist, edges = np.histogram(v, bins=bins, range=(0.0, 1.0))
     p = hist.astype(np.float64) / max(hist.sum(), 1)
     omega = np.cumsum(p)
@@ -189,34 +193,29 @@ def _otsu_threshold(v: np.ndarray, bins: int = 256) -> float:
     with np.errstate(divide="ignore", invalid="ignore"):
         sb = (mu[-1] * omega - mu) ** 2 / np.where(
             denom > 0, denom, np.inf)
-    return float(mids[int(np.nanargmax(sb))])
+    thr = float(mids[int(np.nanargmax(sb))])
+    var = float((p * (mids - mu[-1]) ** 2).sum())
+    return thr, float(np.nanmax(sb)) / max(var, 1e-12)
+
+
+def _otsu_threshold(v: np.ndarray, bins: int = 256) -> float:
+    return _otsu_stats(v, bins)[0]
 
 
 def _otsu_separability(v: np.ndarray, bins: int = 256) -> float:
-    """Otsu between-class variance over total variance in [0, 1] — how
-    bimodal (cut-like) a normalized eigenvector is. Used to pick the
-    fused operator's output channels from an over-computed eigenbasis."""
-    hist, edges = np.histogram(v, bins=bins, range=(0.0, 1.0))
-    p = hist.astype(np.float64) / max(hist.sum(), 1)
-    omega = np.cumsum(p)
-    mids = 0.5 * (edges[:-1] + edges[1:])
-    mu = np.cumsum(p * mids)
-    denom = omega * (1.0 - omega)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sb = (mu[-1] * omega - mu) ** 2 / np.where(
-            denom > 0, denom, np.inf)
-    var = float((p * (mids - mu[-1]) ** 2).sum())
-    return float(np.nanmax(sb)) / max(var, 1e-12)
+    return _otsu_stats(v, bins)[1]
 
 
-def _otsu_calibrate(f: np.ndarray) -> np.ndarray:
+def _otsu_calibrate(f: np.ndarray, t: Optional[float] = None) -> np.ndarray:
     """Piecewise-linearly remap a [0, 1] channel so its Otsu threshold
     lands at 0.5. Eigenvectors of a FUSED operator are mixtures of the
     matting and semantic terms' near-degenerate cut directions, so the
     bimodal gap wanders away from mid-range; after this calibration a
     plain 0.5 threshold recovers the spectral bipartition (the
-    lightweight analogue of the SSS paper's grouping stage)."""
-    t = _otsu_threshold(f.ravel())
+    lightweight analogue of the SSS paper's grouping stage). Pass ``t``
+    to reuse a threshold already computed during candidate ranking."""
+    if t is None:
+        t = _otsu_threshold(f.ravel())
     lo = np.clip(f / max(2.0 * t, 1e-9), 0.0, 0.5) * (f <= t)
     hi = (0.5 + 0.5 * (f - t) / max(1.0 - t, 1e-9)) * (f > t)
     return lo + hi
@@ -254,14 +253,16 @@ def spectral_soft_segments(
     ``n_components`` most bimodal candidates (highest Otsu between-class
     separability), Otsu-calibrated (`_otsu_calibrate`) so 0.5 separates
     each spectral bipartition. Pooling is the lightweight analogue of
-    the SSS paper computing ~100 eigenvectors then grouping, and it
-    makes fusion NON-DESTRUCTIVE: where matting alone already exposes
-    the object its (very bimodal) eigenvectors win selection, and where
-    it is blind (texture-only boundaries: matting IoU 0.26) the fused
-    operator's do (measured on the designed scenes in tests/test_sss.py
-    and an 8-scene synthetic A/B: easy 0.809 = pure's 0.810, hard 0.529
-    vs pure 0.443). ``semantic_weight=0`` is bit-identical to the pure
-    matting path."""
+    the SSS paper computing ~100 eigenvectors then grouping; a greedy
+    redundancy filter (|corr| > 0.95) keeps near-duplicate cuts from
+    the two pools from crowding out a distinct region's eigenvector.
+    Together they make fusion NON-DESTRUCTIVE: where matting alone
+    already exposes the object its (very bimodal) eigenvectors win
+    selection, and where it is blind (texture-only boundaries: matting
+    IoU 0.26) the fused operator's do (measured on the designed scenes
+    in tests/test_sss.py and an 8-scene synthetic A/B on the r5 hard
+    axis: easy 0.810 = pure's 0.810 exactly, hard 0.504 vs pure 0.350).
+    ``semantic_weight=0`` is bit-identical to the pure matting path."""
     from scipy import ndimage
     from scipy.sparse.linalg import eigsh
 
@@ -303,10 +304,28 @@ def spectral_soft_segments(
         # (cut-like) ones — see docstring
         k = n_components + 5
         cands = _eigvecs(L, k) + _eigvecs(L_fused, k)
-        sep = [_otsu_separability(f) for f in cands]
-        order = sorted(range(len(cands)), key=lambda i: -sep[i])
-        chosen = [_otsu_calibrate(cands[i])
-                  for i in sorted(order[:n_components])]
+        stats = [_otsu_stats(f) for f in cands]
+        order = sorted(range(len(cands)), key=lambda i: -stats[i][1])
+        # greedy redundancy filter: when color already exposes the
+        # strongest cut, both operators' leading eigenvectors are the
+        # SAME bipartition — without this, near-duplicate cuts from the
+        # two pools can fill every output slot and drop a distinct
+        # region's eigenvector
+        picked = []
+        for i in order:
+            if len(picked) == n_components:
+                break
+            if any(abs(float(np.corrcoef(cands[i], cands[j])[0, 1]))
+                   > 0.95 for j in picked):
+                continue
+            picked.append(i)
+        for i in order:  # backfill if the filter left too few
+            if len(picked) == n_components:
+                break
+            if i not in picked:
+                picked.append(i)
+        chosen = [_otsu_calibrate(cands[i], stats[i][0])
+                  for i in sorted(picked)]
     else:
         chosen = _eigvecs(L, n_components + 1)
     feats = []

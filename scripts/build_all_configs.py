@@ -38,19 +38,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32,
                    n_fg: int = 12, n_bg: int = 20):
-    """Synthetic moving-disk sequence in FBMS on-disk layout (frames +
-    multicut trajectory file + sparse GT), mirror of
-    tests/test_fbms.py:_write_sequence."""
+    """Synthetic moving-disk sequence in FBMS on-disk layout. Geometry
+    differs from tests/test_fbms.py:_write_sequence (uniform-disk fg
+    labels, velocity scaling for long replicas); serialization delegates
+    to ``awesome_tpu.data.synthetic.write_fbms_layout``."""
     import numpy as np
-    from PIL import Image
+
+    from awesome_tpu.data.synthetic import write_fbms_layout
 
     rng = np.random.default_rng(0)
     # constant total traversal: 3 px/frame for the standard short replicas,
     # scaled down for longer sequences so the disk stays in frame
     vel = min(3.0, 27.0 / max(n_frames - 1, 1))
-    seq = os.path.join(root, "cars99")
-    os.makedirs(os.path.join(seq, "GroundTruth"), exist_ok=True)
-    os.makedirs(os.path.join(seq, "tracks", "multicut"), exist_ok=True)
     trajs = []
     for oid, n_traj in ((1, n_fg), (0, n_bg)):
         for _ in range(n_traj):
@@ -67,37 +66,22 @@ def write_sequence(root: str, n_frames: int = 5, h: int = 24, w: int = 32,
                 for f in range(n_frames)
             ]
             trajs.append((oid, pts))
-    with open(os.path.join(seq, "tracks", "multicut", "cars99.dat"), "w") as f:
-        f.write(f"{n_frames}\n{len(trajs)}\n")
-        for oid, pts in trajs:
-            f.write(f"{oid} {len(pts)}\n")
-            for x, y, fr in pts:
-                f.write(f"{x:.2f} {y:.2f} {fr}\n")
     yy, xx = np.mgrid[0:h, 0:w]
+
+    def _disk(i):
+        return ((yy - 12) ** 2 + (xx - (7 + vel * i)) ** 2) <= 36
+
+    frames = []
     for i in range(n_frames):
         img = np.zeros((h, w, 3), np.uint8) + 30
-        img[((yy - 12) ** 2 + (xx - (7 + vel * i)) ** 2) <= 36] = 200
-        Image.fromarray(img).save(os.path.join(seq, f"cars99_{i:02d}.png"))
-    gt_frames = (0, n_frames - 1)
-    for i in gt_frames:
-        gt = np.where(
-            ((yy - 12) ** 2 + (xx - (7 + vel * i)) ** 2) <= 36, 255, 0
-        ).astype(np.uint8)
-        Image.fromarray(gt).save(
-            os.path.join(seq, "GroundTruth", f"gt_{i:02d}.png"))
-    # the Def.dat GT description the loader indexes frames by
-    # (`awesome_tpu/data/fbms.py` gt_description)
-    with open(os.path.join(seq, "GroundTruth", "cars99Def.dat"), "w") as f:
-        f.write(
-            "Sequence cars99\n\nTotal number of regions:\n2\n"
-            "Scale of region 0:\n100\nScale of region 1:\n50\n\n"
-            "Confusion penality matrix:\n0 1\n1 0\n\n"
-            f"Total number of frames in this shot:\n{n_frames}\n"
-            "Total number of labeled frames for this shot:\n"
-            f"{len(gt_frames)}\n"
-            + "".join(f"gt_{i:02d}.png\n{i}\n" for i in gt_frames)
-        )
-    return seq
+        img[_disk(i)] = 200
+        frames.append(img)
+    gt_masks = {
+        i: np.where(_disk(i), 255, 0).astype(np.uint8)
+        for i in (0, n_frames - 1)
+    }
+    return write_fbms_layout(root, "cars99", n_frames, trajs, frames,
+                             gt_masks)
 
 
 def build_one(path: str, seq_dir: str, runs_path: str):

@@ -195,8 +195,8 @@ def main():
 
     bad = []
     for n, v in floors_report.items():
-        if cell_floors is not None:
-            cf = cell_floors.get(n) or {}
+        if cell_floors is not None and n in cell_floors:
+            cf = cell_floors[n] or {}
             sf, pf = cf.get("seg"), cf.get("prior")
             if sf is not None and (v["seg"] is None or v["seg"] < sf):
                 bad.append((n, "seg", v["seg"], f"floor {sf}"))
@@ -204,6 +204,9 @@ def main():
                     and (v["prior"] is None or v["prior"] < pf)):
                 bad.append((n, "prior", v["prior"], f"floor {pf}"))
             continue
+        # a cell absent from the pinned floors file (grid drift, renamed
+        # or newly added cell) still gets the global-floor gate — never
+        # silently unchecked
         if v["seg"] is None or v["seg"] < args.floor:
             bad.append((n, "seg", v["seg"], f"floor {args.floor}"))
         if "+prior" in n:

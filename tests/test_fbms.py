@@ -16,57 +16,38 @@ from awesome_tpu.data.fbms import (
 
 
 def _write_sequence(root, n_frames=5, h=24, w=32):
-    """Synthetic moving-disk sequence in FBMS layout."""
-    from PIL import Image
+    """Synthetic moving-disk sequence in FBMS layout (geometry only —
+    serialization delegates to ``write_fbms_layout``)."""
+    from awesome_tpu.data.synthetic import write_fbms_layout
 
-    seq = root / "cars99"
-    os.makedirs(seq / "GroundTruth")
-    os.makedirs(seq / "tracks" / "multicut")
     rng = np.random.default_rng(0)
-    traj_lines = []
     trajs = []
     # object 1: points following the disk; object 0: background points
     for oid, n_traj in ((1, 12), (0, 20)):
         for t in range(n_traj):
-            length = n_frames
-            pts = []
             x0 = rng.uniform(4, 10) if oid == 1 else rng.uniform(0, w - 1)
             y0 = rng.uniform(8, 16) if oid == 1 else rng.uniform(0, h - 1)
-            for f in range(length):
-                x = min(x0 + (3 * f if oid == 1 else 0), w - 1)
-                pts.append((x, y0, f))
+            pts = [
+                (min(x0 + (3 * f if oid == 1 else 0), w - 1), y0, f)
+                for f in range(n_frames)
+            ]
             trajs.append((oid, pts))
-    with open(seq / "tracks" / "multicut" / "cars99.dat", "w") as f:
-        f.write(f"{n_frames}\n{len(trajs)}\n")
-        for oid, pts in trajs:
-            f.write(f"{oid} {len(pts)}\n")
-            for x, y, fr in pts:
-                f.write(f"{x:.2f} {y:.2f} {fr}\n")
-    # frames
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def _disk(i):
+        return ((yy - 12) ** 2 + (xx - (7 + 3 * i)) ** 2) <= 36
+
+    frames = []
     for i in range(n_frames):
         img = np.zeros((h, w, 3), np.uint8) + 30
-        cx = 7 + 3 * i
-        yy, xx = np.mgrid[0:h, 0:w]
-        disk = ((yy - 12) ** 2 + (xx - cx) ** 2) <= 36
-        img[disk] = 200
-        Image.fromarray(img).save(seq / f"cars99_{i:02d}.png")
-    # GT for frames 0 and 4
-    for i in (0, 4):
-        cx = 7 + 3 * i
-        yy, xx = np.mgrid[0:h, 0:w]
-        disk = ((yy - 12) ** 2 + (xx - cx) ** 2) <= 36
-        gt = np.where(disk, 255, 0).astype(np.uint8)
-        Image.fromarray(gt).save(seq / "GroundTruth" / f"gt_{i:02d}.png")
-    with open(seq / "GroundTruth" / "cars99Def.dat", "w") as f:
-        f.write(
-            "Sequence cars99\n\nTotal number of regions:\n2\n"
-            "Scale of region 0:\n100\nScale of region 1:\n50\n\n"
-            "Confusion penality matrix:\n0 1\n1 0\n\n"
-            "Total number of frames in this shot:\n5\n"
-            "Total number of labeled frames for this shot:\n2\n"
-            "gt_00.png\n0\ngt_04.png\n4\n"
-        )
-    return str(seq)
+        img[_disk(i)] = 200
+        frames.append(img)
+    gt_masks = {
+        i: np.where(_disk(i), 255, 0).astype(np.uint8)
+        for i in (0, n_frames - 1)
+    }
+    return write_fbms_layout(root, "cars99", n_frames, trajs, frames,
+                             gt_masks)
 
 
 def test_parse_trajectories_native_matches_python(tmp_path):

@@ -323,6 +323,36 @@ def test_load_tag_with_twin_torn_primary_falls_back(tmp_path):
     assert load_tag_with_twin(str(base), "nope", "params", (good,)) is None
 
 
+def test_pytree_exists_orbax_dir_unreadable_without_orbax(tmp_path,
+                                                          monkeypatch):
+    """An Orbax-directory checkpoint must register as ABSENT when Orbax
+    is unusable in this process (multi-process run — `_try_orbax`
+    disables it to avoid barrier deadlocks — or missing dep), so a
+    cross-format resume degrades to a fresh start instead of
+    find_resumable accepting a checkpoint load_pytree then crashes on
+    (np.load FileNotFoundError on the missing .npz twin)."""
+    from awesome_tpu.fit import checkpoint as ck
+
+    tree = (np.arange(3.0),)
+    # orbax-format save (directory), as a single-process run produces
+    ck.save_pytree(tree, str(tmp_path / "params"))
+    if not (tmp_path / "params").is_dir():
+        pytest.skip("orbax unavailable: save fell back to npz")
+    assert ck.pytree_exists(str(tmp_path / "params"))
+
+    # simulate the multi-process configuration
+    monkeypatch.setattr(ck, "_try_orbax", lambda: None)
+    assert not ck.pytree_exists(str(tmp_path / "params"))
+    with pytest.raises(RuntimeError, match="Orbax directory"):
+        ck.load_pytree(str(tmp_path / "params"), tree)
+    # npz-format checkpoints stay fully readable in that mode
+    ck.save_pytree(tree, str(tmp_path / "p2"))
+    assert ck.pytree_exists(str(tmp_path / "p2"))
+    np.testing.assert_array_equal(
+        np.asarray(ck.load_pytree(str(tmp_path / "p2"), tree)[0]),
+        tree[0])
+
+
 def test_find_resumable_torn_meta_old_twin_and_kind(tmp_path):
     """The checkpoint scanner is preemption-proof: torn meta.json is
     skipped (never fatal), the `.old` crash-window twin left by an

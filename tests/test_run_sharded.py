@@ -92,27 +92,46 @@ def test_multihost_jax_distributed_two_processes(tmp_path):
         )
         save_yaml(cfg, str(cfg_dir / f"c{i}.yaml"))
 
-    with socket.socket() as s:  # free port for the coordinator
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
         "PALLAS_AXON_POOL_IPS": "",
         "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
     })
-    base = [sys.executable, os.path.join(REPO, "scripts", "run_sharded.py"),
-            "--config-dir", str(cfg_dir), "--runs-path", str(runs),
-            "--coordinator", f"localhost:{port}",
-            "--num-processes", "2", "--no-aggregate"]
-    procs = [
-        subprocess.Popen(base + ["--process-id", str(i)],
-                         env=env, stdout=subprocess.PIPE,
-                         stderr=subprocess.PIPE, text=True)
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=900) for p in procs]
+
+    def _launch():
+        # bind-then-close port probing is inherently TOCTOU (another
+        # process can grab the port before jax.distributed binds it),
+        # so the caller retries with a fresh port on failure
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        base = [sys.executable,
+                os.path.join(REPO, "scripts", "run_sharded.py"),
+                "--config-dir", str(cfg_dir), "--runs-path", str(runs),
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2", "--no-aggregate"]
+        procs = [
+            subprocess.Popen(base + ["--process-id", str(i)],
+                             env=env, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True)
+            for i in range(2)
+        ]
+        try:
+            return procs, [p.communicate(timeout=900) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+                p.communicate()
+            return procs, None
+
+    for attempt in range(2):
+        procs, outs = _launch()
+        if outs is not None and all(p.returncode == 0 for p in procs):
+            break
+        assert attempt == 0, (
+            "multihost launch failed twice: "
+            + (outs[0][1][-3000:] if outs else "timeout (likely port race)"))
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-3000:]
 

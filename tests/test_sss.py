@@ -307,6 +307,25 @@ def test_sss_fusion_resolves_texture_ambiguity():
     assert iou_fused > iou_pure + 0.1, (iou_fused, iou_pure)
 
 
+def test_sss_fused_channels_not_redundant():
+    """The candidate pool (pure + fused operators) contains the SAME
+    strongest bipartition twice on a scene color alone already solves;
+    the greedy redundancy filter must keep the two output channels
+    distinct cuts instead of one cut duplicated (which would silently
+    drop a distinct region's eigenvector — _best_iou can't see that)."""
+    from awesome_tpu.runner.sss_extractor import spectral_soft_segments
+
+    img, _ = _two_region_image(48, 64)
+    fused = spectral_soft_segments(img, 2, semantic_weight=10.0)
+    a, b = fused[..., 0].ravel(), fused[..., 1].ravel()
+    corr = abs(float(np.corrcoef(a, b)[0, 1]))
+    assert corr < 0.95, f"fused channels are near-duplicates (|corr|={corr:.3f})"
+    # and the selection still recovers the region
+    pure = spectral_soft_segments(img, 2)
+    img2, blob = _two_region_image(48, 64)
+    assert _best_iou(fused, blob) >= _best_iou(pure, blob) - 0.05
+
+
 def test_sss_fused_proxy_and_custom_feature_fn():
     from awesome_tpu.runner.sss_extractor import (
         SemanticSoftSegmentationExtractor,
