@@ -36,6 +36,13 @@ class ConvexitySample:
     fg_mask: np.ndarray  # (H, W) bool — scribble foreground
     bg_mask: np.ndarray  # (H, W) bool — scribble background
     index: int = 0
+    # Weak-label view of the GT for TRAINING targets only (None -> gt).
+    # The reference reads the dense GT at scribble positions for pixel
+    # targets (`:195-207` get_gt_important_pixels), which makes real
+    # datasets' scribble labels exactly as noisy as their GT; synthetic
+    # noisy-scribble scenes model SSS-derived label noise by flipping
+    # values HERE while ``gt`` stays the clean evaluation truth.
+    train_gt: Optional[np.ndarray] = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -48,7 +55,8 @@ class ConvexitySample:
         norm = idx / np.asarray(self.shape, dtype=np.float32) - 0.5
         rgb = self.image[interesting]  # (N, 3)
         px = np.concatenate([norm.astype(np.float32), rgb], axis=-1)
-        gt_px = self.gt[interesting][:, None].astype(np.float32)
+        lbl = self.gt if self.train_gt is None else self.train_gt
+        gt_px = lbl[interesting][:, None].astype(np.float32)
         return px, gt_px
 
     def random_pixels(self, count: int, seed: int = 42) -> np.ndarray:

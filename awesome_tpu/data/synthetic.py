@@ -51,6 +51,7 @@ def make_sample(
     w: int = 64,
     occlude: bool = True,
     hard: float = 0.0,
+    flip_scale: float = 1.0,
 ) -> ConvexitySample:
     """One synthetic scene: a colored convex object on textured background,
     optionally with an occluding stripe (the 'tomato behind leaves' case —
@@ -69,8 +70,10 @@ def make_sample(
     - **fg/bg color overlap**: the object color is pulled toward the
       background palette;
     - **noisy scribbles**: a fraction of the weak labels is flipped
-      (like real SSS-derived weak labels), so late epochs can overfit
-      label noise and best-epoch != last-epoch;
+      (like real SSS-derived weak labels). ``flip_scale`` multiplies the
+      base ~8%·hard flip rate (capped at 40% of each class) — the
+      overfit-probe axis: at high rates late epochs memorize the flipped
+      points and dense-GT eval declines, so best-epoch != last-epoch;
     - **wider occluder**: more of the object only recoverable by the
       prior.
     """
@@ -151,17 +154,31 @@ def make_sample(
         # bg->fg flip COUNT is tied to the fg class size (bg is several
         # times larger) so the wrong fraction of each resulting class
         # stays ~8% regardless of how much of the object is visible
-        flip_fg = fg_scr & (rng.random((h, w)) < 0.08 * hard)
+        flip_p = min(0.08 * hard * max(flip_scale, 0.0), 0.40)
+        flip_fg = fg_scr & (rng.random((h, w)) < flip_p)
         bg_idx = np.argwhere(bg_scr)
-        n_flip = int(round(0.08 * hard * int(fg_scr.sum())))
+        n_flip = int(round(flip_p * int(fg_scr.sum())))
         flip_bg = np.zeros((h, w), bool)
         if n_flip and len(bg_idx):
             take = bg_idx[rng.permutation(len(bg_idx))[:n_flip]]
             flip_bg[take[:, 0], take[:, 1]] = True
         fg_scr = (fg_scr & ~flip_fg) | flip_bg
         bg_scr = (bg_scr & ~flip_bg) | flip_fg
+        # the flipped scribble CLAIMS the other class — training targets
+        # must follow the claim (train_gt), while `gt` stays the clean
+        # evaluation truth. Moving mask membership alone is invisible to
+        # the pixel path: both here and in the reference the pixel target
+        # is the dense GT read at scribble positions
+        # (`awesome/dataset/convexity_segmentation_dataset.py:195-207`),
+        # and fg|bg union + gt values are invariant under membership swaps
+        train_gt = gt.copy()
+        train_gt[flip_fg] = 1.0  # was fg (0), now claims bg
+        train_gt[flip_bg] = 0.0  # was bg (1), now claims fg
+    else:
+        train_gt = None
     return ConvexitySample(
-        image=image, gt=gt, fg_mask=fg_scr, bg_mask=bg_scr, index=seed
+        image=image, gt=gt, fg_mask=fg_scr, bg_mask=bg_scr, index=seed,
+        train_gt=train_gt,
     )
 
 
@@ -173,6 +190,7 @@ def synthetic_convexity_dataset(
     seed0: int = 0,
     hard: float = 0.0,
     hard_spread: bool = False,
+    flip_scale: float = 1.0,
 ) -> List[ConvexitySample]:
     """``hard_spread=True`` ramps per-image difficulty 0..``hard`` across
     the dataset (the per-image difficulty spread the reference benchmark
@@ -183,7 +201,8 @@ def synthetic_convexity_dataset(
     else:
         levels = [hard] * n
     return [
-        make_sample(seed0 + i, h, w, occlude, hard=levels[i])
+        make_sample(seed0 + i, h, w, occlude, hard=levels[i],
+                    flip_scale=flip_scale)
         for i in range(n)
     ]
 

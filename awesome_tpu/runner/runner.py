@@ -163,6 +163,7 @@ class AwesomeRunner(Runner):
             w=args.get("w", 64),
             hard=float(args.get("hard", 0.0)),
             hard_spread=bool(args.get("hard_spread", False)),
+            flip_scale=float(args.get("flip_scale", 1.0)),
         )
 
     def build_dataset(self):

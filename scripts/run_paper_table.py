@@ -51,6 +51,13 @@ def main():
                         "dataset (per-image difficulty spread)")
     p.add_argument("--no-hard-spread", dest="hard_spread",
                    action="store_false")
+    p.add_argument("--eval-cadence", type=int, default=None,
+                   help="compute the full eval-metric grid every N "
+                        "epochs DURING training (default epochs//4) so "
+                        "the best-epoch selection searches a real "
+                        "multi-epoch series — with a single end-of-run "
+                        "eval point 'best' degenerates to 'last' by "
+                        "construction; 0 disables mid-training evals")
     p.add_argument("--sabotage", default=None,
                    help="deliberately break this model family's cells "
                         "(lr x 1e-4) to demonstrate the floors catch a "
@@ -131,7 +138,9 @@ def main():
             num_epochs=args.epochs,
             use_extra_penalty_hook=(m != "cnnnet"),
             extra_penalty_after_n_epochs=max(args.epochs - 200, 50),
-            compute_metrics_during_training_nth_epoch=None,
+            compute_metrics_during_training_nth_epoch=(
+                args.eval_cadence if args.eval_cadence is not None
+                else max(args.epochs // 4, 1)) or None,
             validation_each_nth_epoch=max(args.epochs // 4, 1),
             runs_path=args.out,
             seed=7,

@@ -35,6 +35,37 @@ def test_important_pixels_layout():
     np.testing.assert_allclose(px[:, 2:], s.image[idx[:, 0], idx[:, 1]])
 
 
+def test_hard_axis_scribble_noise_hits_training_labels():
+    """The noisy-scribble hard axis must corrupt TRAINING labels while the
+    evaluation GT stays clean. Membership flips alone are invisible to the
+    pixel path (targets are the dense GT read at scribble positions, as in
+    the reference's get_gt_important_pixels) — the sample carries a
+    train_gt view whose values follow the scribble's CLAIMED class."""
+    clean = make_sample(5, h=48, w=48, hard=0.0)
+    assert clean.train_gt is None  # clean data: bit-identical legacy path
+
+    s = make_sample(5, h=48, w=48, hard=1.0, flip_scale=3.0)
+    scr = s.fg_mask | s.bg_mask
+    # eval GT untouched by flips: it is the geometric object mask
+    assert set(np.unique(s.gt)) <= {0.0, 1.0}
+    # training label == the scribble's claimed class, everywhere
+    claimed = np.where(s.fg_mask, 0.0, 1.0)
+    np.testing.assert_array_equal(s.train_gt[scr], claimed[scr])
+    # flips exist and are label noise w.r.t. the clean GT
+    n_noisy = int((s.train_gt != s.gt)[scr].sum())
+    assert n_noisy > 0
+    # important_pixels targets follow train_gt, not gt
+    px, tgt = s.important_pixels()
+    idx = np.argwhere(scr)
+    np.testing.assert_array_equal(tgt[:, 0], s.train_gt[idx[:, 0], idx[:, 1]])
+
+    # the noise fraction scales with flip_scale (same seed, higher rate)
+    s1 = make_sample(5, h=48, w=48, hard=1.0, flip_scale=1.0)
+    scr1 = s1.fg_mask | s1.bg_mask
+    n1 = int((s1.train_gt != s1.gt)[scr1].sum())
+    assert n_noisy > n1
+
+
 def test_scribble_percentage_topup():
     s = make_sample(2, h=32, w=32)
     px_full, _ = s.pixels(1.0)
