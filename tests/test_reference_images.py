@@ -122,3 +122,37 @@ def test_teaser_masks_polarity_and_shapes():
     b = np.zeros((4, 4), bool)
     b[1:3] = True
     assert T.mask_iou(a, b) == T.mask_iou(b, a) == pytest.approx(1 / 3)
+
+
+def test_repeating_decomposition_script(tmp_path):
+    """The deficit-decomposition diagnostic runs end-to-end and its
+    accounting is self-consistent: every candidate it reports (phase,
+    threshold, anti-aliasing, ensembling) is present with sane ranges,
+    and oracle-threshold IoU >= the -5 contour's by construction
+    (scripts/run_repeating_decomposition.py; standing artifact:
+    runs/teasers/repeating_decomposition.json, PARITY.md)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "decomp.json"
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+                "PYTHONPATH": repo + os.pathsep + env.get("PYTHONPATH", "")})
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "scripts", "run_repeating_decomposition.py"),
+         "--n-restarts", "3", "--steps-scale", "0.02",
+         "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    d = json.loads(out.read_text())
+    assert len(d["per_restart"]) == 3
+    for r in d["per_restart"]:
+        assert 0.0 <= r["iou"] <= r["pa_iou"] + 1e-9 <= 1.0 + 1e-9
+    sq = d["ensemble_status_quo"]
+    assert sq["iou"] <= d["oracle_threshold"]["status_quo"]["iou"] + 1e-9
+    assert {"majority_vote", "phase_aligned_ensemble",
+            "ref_thr_64", "ref_thr_127", "ref_thr_192"} <= set(d)
